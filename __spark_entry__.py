@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spark side: lumbermill_spark (see SURVEY.md §7 architecture). Oracle side:
+independent DuckDB SQL implementations of the same drain.go semantics
+(lumbermill_spark/oracle_sql.py), sharing only the regex constants.
+
+The lumbermill pipeline queries run over a deterministic synthetic transcripts
+table (BASELINE.json input_hint shape) generated per-sf by
+lumbermill_spark/datagen.py and cached under .data/ — both the Spark callable
+and the oracle SQL read the SAME parquet file, so generation determinism is
+not part of the comparison. Training-data queries (dedup_*, sim_*, text_*,
+mm_*) run over the driver's documents/embeddings tables.
 """
 
 from __future__ import annotations
@@ -12,27 +17,149 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_ORACLE_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lumbermill_spark import datagen
+
+    return spark.read.parquet(datagen.ensure_transcripts(datagen.sf_from_dir(sf_dir)))
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lumbermill_spark import classify, parse
+
+    return parse.with_parsed(classify.classify(_transcripts(spark, sf_dir)), parser="pandas")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full classify→parse→aggregate over sf0.001 transcripts —
+    the per-class counter table that is lumbermill's aggregate contract
+    (drain.go:27-47)."""
+    from lumbermill_spark import aggregate
+
+    p = _parsed(spark, "/root/testdata/sf0.001")
+    return aggregate.class_counts(p, p)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_class_counts(spark, sf_dir):
+    from lumbermill_spark import aggregate
+
+    p = _parsed(spark, sf_dir)
+    return aggregate.class_counts(p, p)
+
+
+def _sink_query(name):
+    def q(spark, sf_dir):
+        from lumbermill_spark import parse
+
+        return parse.SINK_BUILDERS[name](_parsed(spark, sf_dir))
+
+    return q
+
+
+def _q_router_error_codes(spark, sf_dir):
+    from lumbermill_spark import aggregate
+
+    return aggregate.router_error_code_counts(_parsed(spark, sf_dir))
+
+
+def _q_router_rollup(spark, sf_dir):
+    from lumbermill_spark import aggregate, parse
+
+    return aggregate.router_rollup(parse.sink_router(_parsed(spark, sf_dir)))
+
+
+def _q_enrich_counts(spark, sf_dir):
+    from lumbermill_spark import classify, enrich
+
+    df = classify.classify(_transcripts(spark, sf_dir))
+    out = enrich.enrich(df, enrich.load_dims(spark))
+    return out.groupBy("tool_kind", "role_class", "msg_class").agg(F.count("*").alias("n"))
+
+
+def _q_route_buckets(spark, sf_dir):
+    from lumbermill_spark import classify, route
+
+    df = classify.classify(_transcripts(spark, sf_dir))
+    return (
+        df.filter(F.col("msg_class") != "token_missing")
+        .groupBy("token")
+        .agg(F.count("*").alias("_cnt"))
+        .select("token", route.bucket_expr(F.col("token"), 16).alias("bucket"))
+    )
+
+
+def _q_sink_freshness(spark, sf_dir):
+    from lumbermill_spark import aggregate, parse
+
+    return aggregate.sink_freshness(parse.sink_router(_parsed(spark, sf_dir)))
+
+
+def _q_turn_ordering(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = _transcripts(spark, sf_dir).filter(F.col("conv_id").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("turn_seq"),
+    )
+
+
+def _q_frames_replay(spark, sf_dir):
+    from lumbermill_spark import datagen, frames
+
+    fp = datagen.ensure_frames(datagen.sf_from_dir(sf_dir))
+    return frames.replay_class_counts(spark.read.parquet(fp))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lumbermill_spark import schemas as S
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "lm_class_counts": _q_class_counts,
+        "lm_router_error_codes": _q_router_error_codes,
+        "lm_router_rollup": _q_router_rollup,
+        "lm_enrich_counts": _q_enrich_counts,
+        "lm_route_buckets": _q_route_buckets,
+        "lm_sink_freshness": _q_sink_freshness,
+        "lm_turn_ordering": _q_turn_ordering,
+        "lm_frames_replay": _q_frames_replay,
+    }
+    for sink in S.ALL_SINKS:
+        q["lm_sink_" + sink] = _sink_query(sink)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lumbermill_spark import datagen
+    from lumbermill_spark import oracle_sql as O
+
+    paths = datagen.ensure_for_sf_dir(SF_ORACLE_DIR)
+    tp, fp = paths["transcripts"], paths["frames"]
+    return {
+        "lm_class_counts": O.class_counts(tp),
+        "lm_sink_router": O.sink_router(tp),
+        "lm_sink_events_router": O.sink_events_router(tp),
+        "lm_sink_dyno_mem": O.sink_dyno_mem(tp),
+        "lm_sink_dyno_load": O.sink_dyno_load(tp),
+        "lm_sink_events_dyno": O.sink_events_dyno(tp),
+        "lm_router_error_codes": O.router_error_code_counts(tp),
+        "lm_router_rollup": O.router_rollup(tp),
+        "lm_enrich_counts": O.enrich_counts(tp, paths["tools"], paths["roles"]),
+        "lm_route_buckets": O.route_buckets(tp, 16),
+        "lm_sink_freshness": O.sink_freshness(tp),
+        "lm_turn_ordering": O.turn_ordering(tp),
+        "lm_frames_replay": O.frames_replay_counts(fp),
+    }

@@ -1,0 +1,85 @@
+"""Aggregates: the reference's side-channel metrics re-expressed as DataFrame
+aggregations (SURVEY §2.1 #23-24).
+
+* ``class_counts`` — the 9-way line-class counters plus total lines and the
+  logfmt-parse-error counter (drain.go:27-47, drain.go:69-72). These counts
+  are the per-sink aggregate-equality contract of the north_rule.
+* ``router_error_code_counts`` — the dynamic per-code counter
+  ``lumbermill.lines.router.errors.<code>`` (drain.go:147); in the reference
+  it only increments after a successful Unmarshal, so parse-error rows are
+  excluded.
+* ``router_rollup`` — per-token latency rollup: count + mean + exact
+  p50/p95/p99 of service ms (the reference exports reservoir-sampled
+  percentiles, main.go:141 + go-metrics/sample.go:271-295; we compute exact
+  percentiles over ALL rows — documented improvement, SURVEY §7.4.6).
+* ``router_rollup_windowed`` — the same over event-time windows (ts-window
+  rollups per north_star).
+* ``sink_freshness`` — max(time) per token per sink: the health-check scan
+  (http.go:129-150) as a batch aggregate.
+
+Catalyst gives partial (map-side) + final aggregation for all of these
+automatically — no hand-rolled combiners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import schemas as S
+
+
+def class_counts(classified: DataFrame, parsed: DataFrame | None = None) -> DataFrame:
+    """counter name → count. Includes `lines` (total) and, when a parsed
+    frame is supplied, `logfmt_parse_error` (rows dropped by parse policy)."""
+    base = classified.groupBy(F.col("msg_class").alias("counter")).agg(F.count("*").alias("n"))
+    total = classified.agg(F.count("*").alias("n")).select(F.lit("lines").alias("counter"), "n")
+    out = base.unionByName(total)
+    if parsed is not None:
+        perr = (
+            parsed.filter(F.col("p.parse_error"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("logfmt_parse_error").alias("counter"), "n")
+        )
+        out = out.unionByName(perr)
+    return out
+
+
+def router_error_code_counts(parsed: DataFrame) -> DataFrame:
+    """drain.go:147 — per H-code counts, post-successful-parse only."""
+    return (
+        parsed.filter((F.col("msg_class") == S.CLS_ROUTER_ERROR) & ~F.col("p.parse_error"))
+        .groupBy(F.col("p.error_code").alias("code"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def router_rollup(router_sink: DataFrame) -> DataFrame:
+    """Per-token service-time rollup with exact interpolated percentiles."""
+    return router_sink.groupBy("token").agg(
+        F.count("*").alias("n_requests"),
+        F.round(F.avg("service"), 6).alias("avg_service"),
+        F.round(F.expr("percentile(service, 0.5)"), 6).alias("p50_service"),
+        F.round(F.expr("percentile(service, 0.95)"), 6).alias("p95_service"),
+        F.round(F.expr("percentile(service, 0.99)"), 6).alias("p99_service"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).alias("n_5xx"),
+    )
+
+
+def router_rollup_windowed(router_sink: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Event-time tumbling-window rollup (ts reconstructed from µs time)."""
+    ts = F.timestamp_micros(F.col("time"))
+    return (
+        router_sink.withColumn("w", F.window(ts, window))
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.round(F.expr("percentile(service, 0.5)"), 6).alias("p50_service"),
+            F.round(F.expr("percentile(service, 0.99)"), 6).alias("p99_service"),
+        )
+    )
+
+
+def sink_freshness(sink_df: DataFrame) -> DataFrame:
+    """http.go:129-150 analog: latest point per token (staleness check input)."""
+    return sink_df.groupBy("token").agg(F.max("time").alias("latest_time"))

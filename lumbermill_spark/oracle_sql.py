@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL builders.
+
+For every core pipeline query there is an independent ANSI-SQL implementation
+of the same drain.go semantics, built from the SAME regex constants as the
+Spark parsers (schemas.py) — the driver runs both sides at sf0.01 and
+hash-compares values, so these strings ARE the correctness contract.
+
+The transcripts/frames/dims tables are our own deterministic synthetic parquet
+(datagen.py), addressed with read_parquet() by absolute path (DuckDB has no
+registered view for them; the ten driver views cover only the TPC-H-ish
+tables).
+"""
+
+from __future__ import annotations
+
+from . import schemas as S
+
+# DuckDB and Spark/Java regex dialects agree on the RE2-compatible subset we
+# use; \d and (?:...) are identical. Patterns are injected verbatim.
+
+
+def _sql_quote(pat: str) -> str:
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def _int_field(pat: str) -> str:
+    return "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS INT)" % _sql_quote(pat)
+
+
+def _float_field(pat: str) -> str:
+    return "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS DOUBLE)" % _sql_quote(pat)
+
+
+def _str_field(pat: str) -> str:
+    g1 = "regexp_extract(text, %s, 1)" % _sql_quote(pat)
+    g2 = "regexp_extract(text, %s, 2)" % _sql_quote(pat)
+    return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1, g2)
+
+
+ODD_QUOTES = "((length(text) - length(replace(text, '\"', ''))) %% 2 = 1)".replace("%%", "%")
+
+_ROUTER_BAD = " OR ".join(
+    "(regexp_matches(text, %s) AND regexp_extract(text, %s, 1) = '')"
+    % (_sql_quote(S.PAT_ROUTER_PRESENT[k]), _sql_quote(S.ROUTER_INT_KEYS[k]))
+    for k in ("connect", "service", "status", "bytes")
+)
+
+_DYNO_ECODE_OK = "regexp_matches(substr(text, 8, 2), '^(\\d\\d|[+-]\\d)$')"
+
+PARSE_ERROR_SQL = (
+    "CASE msg_class "
+    " WHEN 'router' THEN (" + ODD_QUOTES + " OR " + _ROUTER_BAD + ")"
+    " WHEN 'router_error' THEN " + ODD_QUOTES +
+    " WHEN 'dyno_mem' THEN " + ODD_QUOTES +
+    " WHEN 'dyno_load' THEN " + ODD_QUOTES +
+    " WHEN 'dyno_error' THEN NOT " + _DYNO_ECODE_OK +
+    " ELSE FALSE END"
+)
+
+
+def classified_cte(transcripts_path: str) -> str:
+    """WITH-clause prefix: t (raw + token + µs time) and c (+ msg_class)."""
+    return f"""
+WITH t AS (
+  SELECT *,
+    CASE WHEN role LIKE 't.%' THEN role ELSE conv_id END AS token,
+    epoch_us(ts) AS time
+  FROM read_parquet('{transcripts_path}')
+), c AS (
+  SELECT *,
+    CASE
+      WHEN token IS NULL OR token = '' THEN 'token_missing'
+      WHEN NOT (role = 'heroku' OR role LIKE 't.%') THEN 'unknown_user'
+      WHEN tool = 'router' THEN
+        CASE WHEN contains(text, ' code=H') THEN 'router_error'
+             WHEN contains(text, ' code=blank-app') OR contains(text, ' desc="Blank app"') THEN 'router_blank'
+             ELSE 'router' END
+      ELSE
+        CASE WHEN starts_with(text, 'Error R') THEN 'dyno_error'
+             WHEN contains(text, 'sample#memory_total') THEN 'dyno_mem'
+             WHEN contains(text, 'sample#load_avg_1m') THEN 'dyno_load'
+             ELSE 'unknown_heroku' END
+    END AS msg_class
+  FROM t
+), p AS (
+  SELECT *, ({PARSE_ERROR_SQL}) AS parse_error FROM c
+)
+"""
+
+
+def sink_router(path: str) -> str:
+    return classified_cte(path) + f"""
+SELECT token, time,
+  {_int_field(S.ROUTER_INT_KEYS['status'])} AS status,
+  {_int_field(S.ROUTER_INT_KEYS['service'])} AS service
+FROM p WHERE msg_class = 'router' AND NOT parse_error
+"""
+
+
+def sink_events_router(path: str) -> str:
+    return classified_cte(path) + f"""
+SELECT token, time, {_str_field(S.PAT_CODE)} AS code
+FROM p WHERE msg_class = 'router_error' AND NOT parse_error
+"""
+
+
+def sink_dyno_mem(path: str) -> str:
+    src = _str_field(S.PAT_SOURCE)
+    return classified_cte(path) + f"""
+SELECT token, time, {src} AS source,
+  {_float_field(S.MEM_FLOAT_KEYS['memory_cache'])} AS memory_cache,
+  {_int_field(S.MEM_INT_KEYS['memory_pgpgin'])} AS memory_pgpgin,
+  {_int_field(S.MEM_INT_KEYS['memory_pgpgout'])} AS memory_pgpgout,
+  {_float_field(S.MEM_FLOAT_KEYS['memory_rss'])} AS memory_rss,
+  {_float_field(S.MEM_FLOAT_KEYS['memory_swap'])} AS memory_swap,
+  {_float_field(S.MEM_FLOAT_KEYS['memory_total'])} AS memory_total,
+  split_part({src}, '.', 1) AS dyno_type
+FROM p WHERE msg_class = 'dyno_mem' AND NOT parse_error AND {src} <> ''
+"""
+
+
+def sink_dyno_load(path: str) -> str:
+    src = _str_field(S.PAT_SOURCE)
+    return classified_cte(path) + f"""
+SELECT token, time, {src} AS source,
+  {_float_field(S.LOAD_KEYS['load_avg_1m'])} AS load_avg_1m,
+  {_float_field(S.LOAD_KEYS['load_avg_5m'])} AS load_avg_5m,
+  {_float_field(S.LOAD_KEYS['load_avg_15m'])} AS load_avg_15m,
+  split_part({src}, '.', 1) AS dyno_type
+FROM p WHERE msg_class = 'dyno_load' AND NOT parse_error AND {src} <> ''
+"""
+
+
+def sink_events_dyno(path: str) -> str:
+    return classified_cte(path) + f"""
+SELECT token, time, tool AS what, 'R' AS type,
+  CAST(substr(text, 8, 2) AS INT) AS code,
+  text AS message,
+  split_part(tool, '.', 1) AS dyno_type
+FROM p WHERE msg_class = 'dyno_error' AND NOT parse_error
+"""
+
+
+def class_counts(path: str) -> str:
+    return classified_cte(path) + """
+SELECT msg_class AS counter, count(*) AS n FROM c GROUP BY msg_class
+UNION ALL SELECT 'lines' AS counter, count(*) AS n FROM c
+UNION ALL SELECT 'logfmt_parse_error' AS counter, count(*) AS n FROM p WHERE parse_error
+"""
+
+
+def router_error_code_counts(path: str) -> str:
+    return classified_cte(path) + f"""
+SELECT {_str_field(S.PAT_CODE)} AS code, count(*) AS n
+FROM p WHERE msg_class = 'router_error' AND NOT parse_error
+GROUP BY 1
+"""
+
+
+def router_rollup(path: str) -> str:
+    return classified_cte(path) + f"""
+, r AS (
+  SELECT token,
+    {_int_field(S.ROUTER_INT_KEYS['status'])} AS status,
+    {_int_field(S.ROUTER_INT_KEYS['service'])} AS service
+  FROM p WHERE msg_class = 'router' AND NOT parse_error
+)
+SELECT token,
+  count(*) AS n_requests,
+  round(avg(service), 6) AS avg_service,
+  round(quantile_cont(service, 0.5), 6) AS p50_service,
+  round(quantile_cont(service, 0.95), 6) AS p95_service,
+  round(quantile_cont(service, 0.99), 6) AS p99_service,
+  sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS n_5xx
+FROM r GROUP BY token
+"""
+
+
+def enrich_counts(path: str, tools_path: str, roles_path: str) -> str:
+    return classified_cte(path) + f"""
+SELECT
+  coalesce(d.tool_kind, 'unknown') AS tool_kind,
+  coalesce(r.role_class, CASE WHEN c.role LIKE 't.%' THEN 'token' ELSE 'unknown' END) AS role_class,
+  c.msg_class AS msg_class,
+  count(*) AS n
+FROM c
+LEFT JOIN read_parquet('{tools_path}') d ON c.tool = d.tool
+LEFT JOIN read_parquet('{roles_path}') r ON c.role = r.role
+GROUP BY 1, 2, 3
+"""
+
+
+def route_buckets(path: str, n_buckets: int) -> str:
+    from .route import bucket_sql
+
+    return classified_cte(path) + f"""
+SELECT token, {bucket_sql('token', n_buckets)} AS bucket
+FROM c WHERE msg_class <> 'token_missing'
+GROUP BY token
+"""
+
+
+def sink_freshness(path: str) -> str:
+    return classified_cte(path) + """
+SELECT token, max(time) AS latest_time
+FROM p WHERE msg_class = 'router' AND NOT parse_error
+GROUP BY token
+"""
+
+
+def turn_ordering(path: str) -> str:
+    """Stable turn ordering + per-turn text equality surface: window ops over
+    (conv_id, turn_idx) — prev_role lag and a per-conv line number."""
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}'))
+SELECT conv_id, turn_idx, text,
+  lag(role) OVER w AS prev_role,
+  row_number() OVER w AS turn_seq
+FROM t WHERE conv_id IS NOT NULL
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
+def frames_replay_counts(frames_path: str) -> str:
+    """Raw logplex-frame replay: regex header split (lpx/reader.go:43-116),
+    stateful token override (drain.go:103-105), 2-format time parse with
+    drop+count (drain.go:118-127), then classification counts."""
+    rx = r"^(\d+) (<\d+>\d) (\S+) (\S+) (\S+) (\S+) (\S+) (.*)$"
+    return f"""
+WITH f AS (
+  SELECT batch_id, line_no, drain_token,
+    regexp_extract(frame, '{rx}', 3) AS time_str,
+    regexp_extract(frame, '{rx}', 5) AS name,
+    regexp_extract(frame, '{rx}', 6) AS procid,
+    regexp_extract(frame, '{rx}', 8) AS body
+  FROM read_parquet('{frames_path}')
+), o AS (
+  SELECT *,
+    coalesce(
+      last_value(CASE WHEN name LIKE 't.%' THEN name END IGNORE NULLS)
+        OVER (PARTITION BY batch_id ORDER BY line_no ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      drain_token) AS token,
+    coalesce(
+      try_strptime(time_str, '%Y-%m-%dT%H:%M:%S.%f+00:00'),
+      try_strptime(time_str, '%Y-%m-%dT%H:%M:%S+00:00')) AS ts
+  FROM f
+)
+SELECT
+  CASE
+    WHEN token IS NULL OR token = '' THEN 'token_missing'
+    WHEN NOT (name = 'heroku' OR name LIKE 't.%') THEN 'unknown_user'
+    WHEN ts IS NULL THEN 'time_parse_error'
+    WHEN procid = 'router' THEN
+      CASE WHEN contains(body, ' code=H') THEN 'router_error'
+           WHEN contains(body, ' code=blank-app') OR contains(body, ' desc="Blank app"') THEN 'router_blank'
+           ELSE 'router' END
+    ELSE
+      CASE WHEN starts_with(body, 'Error R') THEN 'dyno_error'
+           WHEN contains(body, 'sample#memory_total') THEN 'dyno_mem'
+           WHEN contains(body, 'sample#load_avg_1m') THEN 'dyno_load'
+           ELSE 'unknown_heroku' END
+  END AS counter,
+  count(*) AS n
+FROM o GROUP BY 1
+"""

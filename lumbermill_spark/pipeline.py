@@ -1,0 +1,169 @@
+"""End-to-end batch driver: scan → classify → parse → enrich → route → fan-out
+→ aggregate, with per-chunk lineage commit and resume.
+
+Shape of the plan (and why it scales):
+
+  * classification + sentinel prefilters are native expressions evaluated
+    BEFORE the parse UDF (drain.go's hand-rolled short-circuit, kept visible
+    to Catalyst so column pruning / predicate pushdown reach the parquet scan);
+  * ONE parse pass produces a wide ``p`` struct; the DataFrame is persisted
+    once and the five sinks + metrics are filters/projections over it — the
+    cache is the Spark analog of the reference's single fused loop. At real
+    cluster scale persist(DISK_ONLY/MEMORY_AND_DISK) bounds memory; the
+    alternative (5 re-scans with pushed-down class filters) is a config flag;
+  * fan-out writes are parquet appends partitioned by an md5 ``bucket``
+    column (the consistent-hash ring analog, route.py) — Iceberg's
+    ``bucket(B, token)`` transform would replace this 1:1 when the runtime
+    jar is available (sink abstraction below);
+  * hot-key skew is neutralized by salted repartition before the write
+    (north_rule), and AQE skew-join/coalesce is on (session.py);
+  * losslessness: Spark spills, never drops (vs destination.go:38-44).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import aggregate as agg
+from . import enrich as enrich_mod
+from . import lineage as lin
+from . import parse as P
+from . import route
+from . import schemas as S
+
+
+@dataclass
+class PipelineConfig:
+    parser: str = "pandas"  # 'pandas' (north_star default) | 'native'
+    sink_format: str = "parquet"  # 'parquet' | 'noop'
+    n_buckets: int = 16
+    n_salts: int = 8
+    repartition: int | None = None  # defaults to spark.sql.shuffle.partitions
+    enrich: bool = True
+    write_metrics: bool = True
+    chunk_files: int | None = None  # None → single chunk (whole input)
+    storage_level: StorageLevel = field(default_factory=lambda: StorageLevel.MEMORY_AND_DISK)
+
+
+@dataclass
+class PipelineResult:
+    rows_in: int
+    sink_rows: dict[str, int]
+    class_counts: dict[str, int]
+    seconds: float
+    chunks: int
+
+
+def _sink_dir(out_dir: str, sink: str) -> str:
+    return os.path.join(out_dir, "sinks", sink)
+
+
+def _write(df: DataFrame, cfg: PipelineConfig, path: str, partition_by: str | None = "bucket") -> int:
+    n = df.count()
+    if cfg.sink_format == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        w = df.write.mode("append")
+        if partition_by and partition_by in df.columns:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+    return n
+
+
+def build_parsed(df: DataFrame, cfg: PipelineConfig, spark: SparkSession, dims=None) -> DataFrame:
+    from . import classify as C
+
+    classified = C.classify(df)
+    if cfg.enrich:
+        dims = dims or enrich_mod.load_dims(spark)
+        classified = enrich_mod.enrich(classified, dims)
+    return P.with_parsed(classified, parser=cfg.parser)
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = False,
+) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    nshuffle = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # --- source file set (chunk + resume granularity)
+    # NB: must be the same representation the lineage ledger stores
+    # (_metadata.file_path), else resume's set-difference silently matches
+    # nothing and every chunk reprocesses
+    all_files = sorted(
+        r["file"]
+        for r in spark.read.parquet(input_path)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+        .collect()
+    )
+    if resume:
+        done = lin.completed_files(spark, out_dir)
+        files = [f for f in all_files if f not in done]
+    else:
+        files = all_files
+    chunk_size = cfg.chunk_files or max(len(files), 1)
+    chunks = [files[i : i + chunk_size] for i in range(0, len(files), chunk_size)] if files else []
+
+    dims = enrich_mod.load_dims(spark) if cfg.enrich else None
+    totals: dict[str, int] = {k: 0 for k in S.ALL_SINKS}
+    cls_totals: dict[str, int] = {}
+    rows_in = 0
+
+    for ci, chunk in enumerate(chunks):
+        df = spark.read.parquet(*chunk).withColumn("source_file", F.col("_metadata.file_path"))
+        parsed = build_parsed(df, cfg, spark, dims)
+        parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
+        parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
+        parsed = parsed.persist(cfg.storage_level)
+        try:
+            # fan-out: 5 filtered projections over ONE cached parse pass
+            for sink, builder in P.SINK_BUILDERS.items():
+                sdf = builder(parsed).withColumn(
+                    "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
+                )
+                totals[sink] += _write(sdf, cfg, _sink_dir(out_dir, sink))
+
+            # metrics / aggregate side-outputs (drain.go counters analog)
+            cc = agg.class_counts(parsed, parsed)
+            chunk_counts = {r["counter"]: r["n"] for r in cc.collect()}
+            for k, v in chunk_counts.items():
+                cls_totals[k] = cls_totals.get(k, 0) + v
+            rows_in += chunk_counts.get("lines", 0)
+            if cfg.write_metrics and cfg.sink_format != "noop":
+                cc.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics", "class_counts"))
+                agg.router_error_code_counts(parsed).coalesce(1).write.mode("append").parquet(
+                    os.path.join(out_dir, "metrics", "router_error_codes")
+                )
+                agg.router_rollup(P.sink_router(parsed)).coalesce(4).write.mode("append").parquet(
+                    os.path.join(out_dir, "metrics", "router_rollup")
+                )
+
+            # lineage ledger commit — AFTER sink writes succeeded
+            if cfg.sink_format != "noop":
+                lin.commit_chunk(
+                    spark, out_dir, run_id, "%s_%04d" % (run_id, ci), lin.lineage_counts(parsed)
+                )
+        finally:
+            parsed.unpersist()
+
+    return PipelineResult(
+        rows_in=rows_in,
+        sink_rows=totals,
+        class_counts=cls_totals,
+        seconds=time.time() - t0,
+        chunks=len(chunks),
+    )

@@ -1,0 +1,212 @@
+"""Schemas and constants.
+
+The five sink schemas mirror the reference's series column lists exactly
+(reference points.go:16-25); ``token`` is carried as an ordinary column instead
+of being baked into a per-token table name (points.go:42-44) — at 10^12 turns a
+table-per-token layout is untenable, a bucketed column is the Spark-native
+answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Input: transcripts table (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# Raw-frame fixture (lpx framing + stateful token override tests,
+# reference lpx/reader.go:43-85 and drain.go:87,103-105).
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("line_no", T.IntegerType()),
+        T.StructField("drain_token", T.StringType()),  # Logplex-Drain-Token header
+        T.StructField("frame", T.StringType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Message classes (the reference's counter taxonomy, drain.go:27-47)
+# ---------------------------------------------------------------------------
+
+CLS_ROUTER = "router"
+CLS_ROUTER_ERROR = "router_error"
+CLS_ROUTER_BLANK = "router_blank"
+CLS_DYNO_ERROR = "dyno_error"
+CLS_DYNO_MEM = "dyno_mem"
+CLS_DYNO_LOAD = "dyno_load"
+CLS_UNKNOWN_HEROKU = "unknown_heroku"
+CLS_UNKNOWN_USER = "unknown_user"
+CLS_TOKEN_MISSING = "token_missing"
+
+ALL_CLASSES = [
+    CLS_ROUTER,
+    CLS_ROUTER_ERROR,
+    CLS_ROUTER_BLANK,
+    CLS_DYNO_ERROR,
+    CLS_DYNO_MEM,
+    CLS_DYNO_LOAD,
+    CLS_UNKNOWN_HEROKU,
+    CLS_UNKNOWN_USER,
+    CLS_TOKEN_MISSING,
+]
+
+# Classes that run the logfmt parse (and can therefore produce a
+# logfmt-parse-error drop, drain.go:69-72).
+PARSED_CLASSES = [CLS_ROUTER, CLS_ROUTER_ERROR, CLS_DYNO_ERROR, CLS_DYNO_MEM, CLS_DYNO_LOAD]
+
+# Sentinels (router_msg.go:23-25, dyno_msg.go:21-23). Byte-for-byte.
+SENTINEL_CODE_H = " code=H"
+SENTINEL_CODE_BLANK = " code=blank-app"
+SENTINEL_DESC_BLANK = ' desc="Blank app"'
+SENTINEL_DYNO_ERROR = "Error R"
+SENTINEL_DYNO_MEM = "sample#memory_total"
+SENTINEL_DYNO_LOAD = "sample#load_avg_1m"
+
+TOKEN_PREFIX = "t."  # drain.go:20
+HEROKU_NAME = "heroku"  # drain.go:22
+
+# ---------------------------------------------------------------------------
+# Extraction regexes — the single source of truth shared by the pandas-UDF
+# parser, the native-expression parser, AND the generated DuckDB oracle SQL.
+# RE2-compatible subset (no lookarounds) so Python `re`, Java regex and DuckDB
+# all agree. Semantics mirror the Go handlers:
+#   * string key:  key=value | key="value"            (router_msg.go:44-57)
+#   * int+ms key:  strconv.Atoi(TrimSuffix(v,"ms"))    (router_msg.go:58-69)
+#   * bare int:    strconv.Atoi(v)                     (router_msg.go:70-81)
+#   * float+MB:    ParseFloat(TrimSuffix(v,"MB"))      (dyno_msg.go:58-65)
+#   * int+pages:   Atoi(TrimSuffix(v,"pages"))         (dyno_msg.go:66-69)
+#   * suffix-matched keys (sample#memory_total etc.)   (dyno_msg.go:58-69)
+# ---------------------------------------------------------------------------
+
+
+def pat_str(key: str) -> str:
+    """Quoted-or-bare string value for an exact key."""
+    return r'(?:^|\s)' + key + r'=(?:"([^"]*)"|([^\s"]*))'
+
+
+def pat_int(key: str, suffix: str = "") -> str:
+    """Integer value, optional unit suffix trimmed (TrimSuffix semantics)."""
+    return r"(?:^|\s)" + key + r"=([+-]?\d+)(?:" + suffix + r")?(?:\s|$)" if suffix else (
+        r"(?:^|\s)" + key + r"=([+-]?\d+)(?:\s|$)"
+    )
+
+
+def pat_float_suffix(key_suffix: str, unit: str = "") -> str:
+    """Float value for a suffix-matched key (e.g. ``sample#memory_total``)."""
+    tail = r"(?:" + unit + r")?(?:\s|$)" if unit else r"(?:\s|$)"
+    return r"(?:^|\s)[^\s=]*" + key_suffix + r"=([+-]?(?:\d+\.?\d*|\.\d+))" + tail
+
+
+def pat_int_suffix(key_suffix: str, unit: str) -> str:
+    return r"(?:^|\s)[^\s=]*" + key_suffix + r"=([+-]?\d+)(?:" + unit + r")?(?:\s|$)"
+
+
+def pat_present(key: str) -> str:
+    """Key present at all (exact key match, any value)."""
+    return r"(?:^|\s)" + key + r"="
+
+
+# routerMsg required ints: any present-but-unparseable one drops the row
+# (router_msg.go:58-81 returns error → drain.go:164-168 drops + counts).
+ROUTER_INT_KEYS = {
+    "connect": pat_int("connect", "ms"),
+    "service": pat_int("service", "ms"),
+    "status": pat_int("status"),
+    "bytes": pat_int("bytes"),
+}
+PAT_ROUTER_PRESENT = {k: pat_present(k) for k in ROUTER_INT_KEYS}
+
+PAT_CODE = pat_str("code")  # routerError.Code (router_msg.go:110-111)
+PAT_SOURCE = pat_str("source")  # dyno source (dyno_msg.go:54-55)
+
+MEM_FLOAT_KEYS = {
+    "memory_cache": pat_float_suffix("memory_cache", "MB"),
+    "memory_rss": pat_float_suffix("memory_rss", "MB"),
+    "memory_swap": pat_float_suffix("memory_swap", "MB"),
+    "memory_total": pat_float_suffix("memory_total", "MB"),
+}
+MEM_INT_KEYS = {
+    "memory_pgpgin": pat_int_suffix("memory_pgpgin", "pages"),
+    "memory_pgpgout": pat_int_suffix("memory_pgpgout", "pages"),
+}
+LOAD_KEYS = {
+    "load_avg_1m": pat_float_suffix("load_avg_1m"),
+    "load_avg_5m": pat_float_suffix("load_avg_5m"),
+    "load_avg_15m": pat_float_suffix("load_avg_15m"),
+}
+
+# dynoError: code is EXACTLY the 2 bytes after "Error R" (dyno_msg.go:30-39);
+# Atoi of those 2 bytes → \d\d or sign+digit. (A <9-byte message panics in the
+# reference; we drop the row instead — documented divergence.)
+PAT_DYNO_ERROR_CODE = r"^Error R(\d\d|[+-]\d)"
+
+# ---------------------------------------------------------------------------
+# Parsed-field struct produced by parse.parse_fields (one wide struct so the
+# whole input is parsed in a single UDF/projection pass and the five sinks are
+# cheap filters over one cached DataFrame — the Spark analog of the
+# reference's single fused pass, drain.go:96-274).
+# ---------------------------------------------------------------------------
+
+PARSED_STRUCT = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField("service", T.IntegerType()),
+        T.StructField("error_code", T.StringType()),
+        T.StructField("dyno_ecode", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("memory_cache", T.DoubleType()),
+        T.StructField("memory_pgpgin", T.IntegerType()),
+        T.StructField("memory_pgpgout", T.IntegerType()),
+        T.StructField("memory_rss", T.DoubleType()),
+        T.StructField("memory_swap", T.DoubleType()),
+        T.StructField("memory_total", T.DoubleType()),
+        T.StructField("load_avg_1m", T.DoubleType()),
+        T.StructField("load_avg_5m", T.DoubleType()),
+        T.StructField("load_avg_15m", T.DoubleType()),
+        T.StructField("parse_error", T.BooleanType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Sink schemas (points.go:16-25; token carried as a column per §1.3 of SURVEY).
+# time is int64 microseconds since epoch: t.UnixNano()/1000 (drain.go:129).
+# ---------------------------------------------------------------------------
+
+SINK_ROUTER = "router"
+SINK_EVENTS_ROUTER = "events_router"
+SINK_DYNO_MEM = "dyno_mem"
+SINK_DYNO_LOAD = "dyno_load"
+SINK_EVENTS_DYNO = "events_dyno"
+ALL_SINKS = [SINK_ROUTER, SINK_EVENTS_ROUTER, SINK_DYNO_MEM, SINK_DYNO_LOAD, SINK_EVENTS_DYNO]
+
+SINK_COLUMNS = {
+    SINK_ROUTER: ["token", "time", "status", "service"],
+    SINK_EVENTS_ROUTER: ["token", "time", "code"],
+    SINK_DYNO_MEM: [
+        "token",
+        "time",
+        "source",
+        "memory_cache",
+        "memory_pgpgin",
+        "memory_pgpgout",
+        "memory_rss",
+        "memory_swap",
+        "memory_total",
+        "dyno_type",
+    ],
+    SINK_DYNO_LOAD: ["token", "time", "source", "load_avg_1m", "load_avg_5m", "load_avg_15m", "dyno_type"],
+    SINK_EVENTS_DYNO: ["token", "time", "what", "type", "code", "message", "dyno_type"],
+}

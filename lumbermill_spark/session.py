@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's recommended scale-oriented config.
+
+Tested on ``local[N]``; the same config is what we'd submit to a real cluster
+via ``spark-submit --py-files`` (see bench/submit_scaling.sh): AQE on (runtime
+re-planning + skew-join splitting), Arrow on (the parse UDF is Arrow-batched),
+shuffle partitions sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lumbermill-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or "local[%d]" % cpus
+    if shuffle_partitions is None:
+        # one shuffle partition per core at local scale; on a real cluster this
+        # would be ~2-3x total executor cores (AQE coalesces the excess)
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the reference's parsers are permissive (bad int → error value or 0,
+        # never an exception); non-ANSI cast-null-on-failure matches that
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("LUMBERMILL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()
