@@ -30,16 +30,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FNV32_OFFSET = np.uint32(2166136261)
-FNV32_PRIME = np.uint32(16777619)
+FNV32_OFFSET = 2166136261
+FNV32_PRIME = 16777619
 
 
 def fnv1a_32(data: bytes) -> int:
     h = FNV32_OFFSET
     for b in data:
-        h = np.uint32(h ^ np.uint32(b))
-        h = np.uint32(h * FNV32_PRIME)
-    return int(h)
+        h = ((h ^ b) * FNV32_PRIME) & 0xFFFFFFFF
+    return h
 
 
 def fnv1a_32_batch(strings: "np.ndarray") -> "np.ndarray":
