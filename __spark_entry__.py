@@ -124,10 +124,113 @@ def _q_frames_replay(spark, sf_dir):
     return frames.replay_class_counts(spark.read.parquet(fp))
 
 
+# ---------------------------------------------------------------------------
+# training-data extras (documents / embeddings tables from sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeds(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.exact_dedup(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.ngram_jaccard_pairs(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.minhash_lsh_pairs(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.simhash_pairs(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_embed_cosine(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.embedding_cosine_pairs(_embeds(spark, sf_dir))
+
+
+def _q_sim_topk(spark, sf_dir):
+    from lumbermill_spark.extras import similarity
+
+    return similarity.topk_bruteforce(_embeds(spark, sf_dir))
+
+
+def _q_sim_lsh_topk(spark, sf_dir):
+    from lumbermill_spark.extras import similarity
+
+    return similarity.topk_lsh(_embeds(spark, sf_dir))
+
+
+def _q_text_tokens(spark, sf_dir):
+    from lumbermill_spark.extras import textstats
+
+    return textstats.with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from lumbermill_spark.extras import textstats
+
+    return textstats.with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "stopword_frac", "quality_score"
+    )
+
+
+def _q_text_langid(spark, sf_dir):
+    from lumbermill_spark.extras import textstats
+
+    df = textstats.with_langid(_docs(spark, sf_dir))
+    return df.select("doc_id", *["score_" + lg for lg in textstats.LANG_ORDER], "pred_lang")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from lumbermill_spark.extras import textstats
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_mm_decode(spark, sf_dir):
+    from lumbermill_spark.extras import multimodal
+
+    return multimodal.decode_features(multimodal.with_binary_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lumbermill_spark import schemas as S
 
     q = {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "sim_topk_bruteforce": _q_sim_topk,
+        "sim_lsh_topk": _q_sim_lsh_topk,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "mm_decode_stub": _q_mm_decode,
         "lm_class_counts": _q_class_counts,
         "lm_router_error_codes": _q_router_error_codes,
         "lm_router_rollup": _q_router_rollup,
@@ -146,9 +249,26 @@ def oracle_sql() -> dict[str, str]:
     from lumbermill_spark import datagen
     from lumbermill_spark import oracle_sql as O
 
+    from lumbermill_spark import oracle_extras as OX
+
     paths = datagen.ensure_for_sf_dir(SF_ORACLE_DIR)
     tp, fp = paths["transcripts"], paths["frames"]
     return {
+        # training-data extras (documents/embeddings views)
+        # dedup_minhash_lsh / dedup_simhash intentionally have no SQL oracle
+        # (signature computation is not SQL-expressible) → rows-only check;
+        # their *verification* semantics are covered by dedup_ngram_jaccard
+        # and dedup_exact which are fully oracle-checked.
+        "dedup_exact": OX.dedup_exact(),
+        "dedup_ngram_jaccard": OX.dedup_ngram_jaccard(),
+        "dedup_embed_cosine": OX.dedup_embed_cosine(),
+        "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
+        "sim_lsh_topk": OX.sim_lsh_topk(),
+        "text_tokens": OX.text_tokens(),
+        "text_quality": OX.text_quality(),
+        "text_langid": OX.text_langid(),
+        "text_fingerprint": OX.text_fingerprint(),
+        "mm_decode_stub": OX.mm_decode_stub(),
         "lm_class_counts": O.class_counts(tp),
         "lm_sink_router": O.sink_router(tp),
         "lm_sink_events_router": O.sink_events_router(tp),

@@ -1,0 +1,95 @@
+"""Text analysis over the documents table: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything here is native Catalyst expressions (regexp_count / regexp_replace
+/ md5) — whole-stage-codegen'd, zero Python on the hot path. Each op has an
+exactly-equivalent DuckDB SQL oracle; the regex/stopword constants below are
+the single source of truth for both sides (oracle built in oracle_extras.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: runs of alphanumerics OR single non-space symbols
+BPE_TOKEN_PAT = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PAT = r"[^\w\s]"
+ALPHA_PAT = r"[A-Za-z]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "est", "une"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic argmax tie-break
+
+
+def stopword_pat(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def ws_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PAT)).cast("int")
+
+
+def normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lowercase text."""
+    return F.md5(normalized(text))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("n_ws_tokens", ws_token_count(t)).withColumn(
+        "n_bpe_tokens", bpe_token_count(t)
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality score ∈ [0,1]: alpha density, low punctuation, stopword
+    presence, length — the standard cheap pre-filter for corpus curation."""
+    t = F.col(text_col)
+    length = F.greatest(F.length(t), F.lit(1)).cast("double")
+    ntok = F.greatest(ws_token_count(t), F.lit(1)).cast("double")
+    alpha_ratio = F.regexp_count(t, F.lit(ALPHA_PAT)) / length
+    punct_ratio = F.regexp_count(t, F.lit(PUNCT_PAT)) / length
+    stop_hits = F.regexp_count(F.lower(t), F.lit(stopword_pat("en"))).cast("double")
+    stop_frac = F.least(stop_hits / ntok, F.lit(1.0))
+    score = (
+        0.25 * alpha_ratio
+        + 0.25 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
+        + 0.25 * stop_frac
+        + 0.25 * F.least(ntok / 100.0, F.lit(1.0))
+    )
+    return (
+        df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_frac", F.round(stop_frac, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with fixed-precedence argmax ('und' if no
+    hits anywhere)."""
+    t = F.lower(F.col(text_col))
+    scores = {lang: F.regexp_count(t, F.lit(stopword_pat(lang))) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # build when-chain in priority order
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df
+    for lang in LANG_ORDER:
+        out = out.withColumn("score_" + lang, scores[lang].cast("int"))
+    return out.withColumn("pred_lang", pred)

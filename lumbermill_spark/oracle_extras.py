@@ -1,0 +1,184 @@
+"""DuckDB oracle SQL for the training-data extras (documents/embeddings are
+the driver's pre-registered views). Thresholds/constants come from the Spark
+modules so both sides share one definition."""
+
+from __future__ import annotations
+
+from .extras import dedup as D
+from .extras import similarity as SIM
+from .extras import textstats as TS
+
+AUG_DOCS = f"""
+docs AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {D.EXACT_ID_OFFSET}, text, lang, n_chars
+  FROM documents WHERE doc_id % {D.EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {D.NEAR_ID_OFFSET}, text || '{D.NEAR_TAIL}', lang, n_chars + {len(D.NEAR_TAIL)}
+  FROM documents WHERE doc_id % {D.NEAR_COPY_MOD} = 0
+)
+"""
+
+FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def dedup_exact() -> str:
+    return f"""
+WITH {AUG_DOCS},
+fp AS (SELECT doc_id, {FINGERPRINT} AS fingerprint FROM docs)
+SELECT doc_id, fingerprint,
+  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+  (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS is_canonical
+FROM fp
+"""
+
+
+def dedup_ngram_jaccard() -> str:
+    return f"""
+WITH {AUG_DOCS},
+d AS (SELECT doc_id, text, lang, length(text) AS n FROM docs),
+tg AS (
+  SELECT doc_id, lang, n,
+    CASE WHEN n >= 3
+      THEN list_distinct([substring(text, i, 3) FOR i IN range(1, n - 1)])
+      ELSE [text] END AS grams
+  FROM d),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) AS sim
+  FROM tg a JOIN tg b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {D.LEN_BAND})
+SELECT doc_a, doc_b, round(sim, 6) AS sim FROM pairs WHERE sim >= {D.NGRAM_THRESHOLD}
+"""
+
+
+def dedup_embed_cosine() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+),
+e AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + {D.EMBED_EXACT_OFFSET}, label, v
+  FROM base WHERE vec_id % {D.EMBED_EXACT_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {D.EMBED_NEAR_OFFSET}, label,
+    list_concat([v[1] + {D.EMBED_PERTURB}], v[2:])
+  FROM base WHERE vec_id % {D.EMBED_NEAR_MOD} = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+      / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
+         * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)]))) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {D.COSINE_DUP_THRESHOLD}
+"""
+
+
+_COS = """
+list_sum([q.qv[i] * e.v[i] FOR i IN range(1, len(e.v) + 1)])
+  / (sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, len(q.qv) + 1)]))
+     * sqrt(list_sum([e.v[i] * e.v[i] FOR i IN range(1, len(e.v) + 1)])))
+"""
+
+
+def sim_topk_bruteforce() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SIM.N_QUERIES}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS score
+FROM r WHERE rank <= {SIM.TOPK}
+"""
+
+
+def _bucket_sql(col: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SIM.SIGN_BITS)
+    )
+
+
+def sim_lsh_topk() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v,
+    {_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {SIM.N_QUERIES_LSH}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS score
+FROM r WHERE rank <= {SIM.LSH_TOPK}
+"""
+
+
+def text_tokens() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PAT}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def text_quality() -> str:
+    length = "greatest(length(text), 1)::DOUBLE"
+    ntok = (
+        "greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE"
+    )
+    alpha = f"len(regexp_extract_all(text, '{TS.ALPHA_PAT}')) / {length}"
+    punct = f"len(regexp_extract_all(text, '{TS.PUNCT_PAT}')) / {length}"
+    stop = f"least(len(regexp_extract_all(lower(text), '{TS.stopword_pat('en')}'))::DOUBLE / {ntok}, 1.0)"
+    score = (
+        f"0.25 * ({alpha}) + 0.25 * (1.0 - least(({punct}) * 4.0, 1.0))"
+        f" + 0.25 * ({stop}) + 0.25 * least({ntok} / 100.0, 1.0)"
+    )
+    return f"""
+SELECT doc_id,
+  round({alpha}, 6) AS alpha_ratio,
+  round({punct}, 6) AS punct_ratio,
+  round({stop}, 6) AS stopword_frac,
+  round({score}, 6) AS quality_score
+FROM documents
+"""
+
+
+def text_langid() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{TS.stopword_pat(lang)}'))"
+        for lang in TS.LANG_ORDER
+    }
+    g = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(f"WHEN {scores[lang]} = {g} THEN '{lang}'" for lang in TS.LANG_ORDER)
+    sel = ", ".join(f"CAST({scores[lang]} AS INT) AS score_{lang}" for lang in TS.LANG_ORDER)
+    return f"""
+SELECT doc_id, {sel},
+  CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+def text_fingerprint() -> str:
+    return f"SELECT doc_id, {FINGERPRINT} AS fingerprint FROM documents"
+
+
+def mm_decode_stub() -> str:
+    return """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(((('0x' || substr(md5(text), 1, 2))::INT % 32 + 1) * 16) AS INT) AS width,
+  CAST(((('0x' || substr(md5(text), 3, 2))::INT % 32 + 1) * 16) AS INT) AS height
+FROM documents
+"""

@@ -1,0 +1,114 @@
+"""Tests for the training-data operators: dedup recall/precision on the
+deterministically augmented corpus, similarity top-k vs local numpy, text
+stats, multimodal stub determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark.extras import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeds(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dedup.exact_dedup(dedup.augmented_docs(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    copies = [r for r in out if r["doc_id"] >= dedup.EXACT_ID_OFFSET and r["doc_id"] < dedup.NEAR_ID_OFFSET]
+    assert copies, "augmentation produced no exact copies"
+    for r in copies:
+        orig = r["doc_id"] - dedup.EXACT_ID_OFFSET
+        assert r["canonical_id"] == orig and not r["is_canonical"]
+        assert by_id[orig]["is_canonical"] and by_id[orig]["group_size"] == 2
+    near = [r for r in out if r["doc_id"] >= dedup.NEAR_ID_OFFSET]
+    assert near and all(r["is_canonical"] and r["group_size"] == 1 for r in near)
+
+
+def test_minhash_lsh_finds_all_exact_and_near_copies(spark, docs):
+    aug = dedup.augmented_docs(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["sim"] for r in dedup.minhash_lsh_pairs(aug).collect()}
+    n_docs = docs.count()
+    exact_ids = [i for i in range(n_docs) if i % dedup.EXACT_COPY_MOD == 0]
+    for i in exact_ids:
+        assert pairs.get((i, i + dedup.EXACT_ID_OFFSET)) == 1.0, f"missing exact pair {i}"
+    near_ids = [i for i in range(n_docs) if i % dedup.NEAR_COPY_MOD == 0]
+    found = sum(1 for i in near_ids if (i, i + dedup.NEAR_ID_OFFSET) in pairs)
+    assert found / len(near_ids) >= 0.9  # LSH recall at sim≈0.9+
+
+    # verified sims are exact jaccard, so every reported sim ≥ threshold
+    assert all(s >= dedup.MINHASH_VERIFY_THRESHOLD for s in pairs.values())
+
+
+def test_simhash_exact_copies_hamming_zero(spark, docs):
+    aug = dedup.augmented_docs(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(aug).collect()}
+    n_docs = docs.count()
+    for i in range(0, n_docs, dedup.EXACT_COPY_MOD):
+        assert pairs.get((i, i + dedup.EXACT_ID_OFFSET)) == 0
+
+
+def test_topk_bruteforce_matches_numpy(spark, embeds):
+    rows = embeds.collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    got = {}
+    for r in similarity.topk_bruteforce(embeds).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in range(similarity.N_QUERIES):
+        qv = V[q]
+        sims = sorted(
+            ((float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -i) for i, v in V.items() if i != q),
+            reverse=True,
+        )
+        expect = [(-negid) for _, negid in sims[: similarity.TOPK]]
+        assert [n for _, n in sorted(got[q])] == expect, f"query {q}"
+
+
+def test_lsh_topk_subset_of_bucket(spark, embeds):
+    out = similarity.topk_lsh(embeds)
+    e = embeds.select("vec_id", similarity.sign_bucket_expr(F.col("embedding").cast("array<double>")).alias("b"))
+    buckets = {r["vec_id"]: r["b"] for r in e.collect()}
+    for r in out.collect():
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, "   "), (3, "le le les et est une")], ["doc_id", "text"]
+    )
+    tok = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in textstats.with_token_counts(df).collect()}
+    assert tok[1] == (4, 5)  # 4 ws tokens; bpe: The quick brown fox .
+    assert tok[2][0] == 0
+    lang = {r["doc_id"]: r["pred_lang"] for r in textstats.with_langid(df).collect()}
+    assert lang[1] == "en" and lang[3] == "fr" and lang[2] == "und"
+    q = {r["doc_id"]: r["quality_score"] for r in textstats.with_quality(df).collect()}
+    assert 0.0 <= q[2] <= q[1] <= 1.0
+
+
+def test_mm_stub_deterministic_and_md5(spark, docs):
+    import hashlib
+
+    out1 = multimodal.decode_features(multimodal.with_binary_payload(docs)).collect()
+    out2 = multimodal.decode_features(multimodal.with_binary_payload(docs)).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out1[:20]:
+        d = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+        assert r["content_md5"] == d
+        assert r["n_bytes"] == len(texts[r["doc_id"]].encode())
+        assert 16 <= r["width"] <= 512 and 16 <= r["height"] <= 512
+
+
+def test_mm_strict_raises(spark, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(multimodal.with_binary_payload(docs), strict=True)
