@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total pipeline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus context keys}
+
+The headline metric is the end-to-end parse→enrich→route→aggregate pipeline
+(noop sink — measures compute, not local-disk writeback), reported both with
+the pandas-UDF parser (north_star default) and the native-expression parser.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from lumbermill_spark import aggregate, classify, datagen, parse, pipeline, session
+    from lumbermill_spark.extras import dedup, similarity, textstats
+
+    sf = datagen.sf_from_dir(sf_dir)
+    tpath = datagen.ensure_transcripts(sf)
+    spark = session.get_spark("lumbermill-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_turns = spark.read.parquet(tpath).count()
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, runs=1):
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return best
+
+    def run_pipeline(parser):
+        cfg = pipeline.PipelineConfig(parser=parser, sink_format="noop", write_metrics=False)
+        return pipeline.run(spark, tpath, "/tmp/lm_bench_noop", cfg)
+
+    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"))
+    timed("pipeline_noop_native", lambda: run_pipeline("native"))
+
+    df = spark.read.parquet(tpath)
+
+    def agg_counts():
+        p = parse.with_parsed(classify.classify(df), "pandas")
+        aggregate.class_counts(p, p).collect()
+
+    timed("class_counts", agg_counts)
+
+    def rollup():
+        p = parse.with_parsed(classify.classify(df), "pandas")
+        aggregate.router_rollup(parse.sink_router(p)).write.format("noop").mode("overwrite").save()
+
+    timed("router_rollup", rollup)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("dedup_exact", lambda: dedup.exact_dedup(dedup.augmented_docs(docs)).write.format("noop").mode("overwrite").save())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(dedup.augmented_docs(docs)).write.format("noop").mode("overwrite").save())
+    timed("sim_topk_bruteforce", lambda: similarity.topk_bruteforce(embeds).write.format("noop").mode("overwrite").save())
+    timed("text_quality", lambda: textstats.with_quality(docs).write.format("noop").mode("overwrite").save())
+
+    total = timings["pipeline_noop_pandas"]
+    out = {
+        "metric": "end_to_end_parse_route_aggregate_pipeline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / total, 1) if total else None,
+        "cpus": cpus,
+        "parser": "pandas_udf(default)",
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

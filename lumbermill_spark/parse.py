@@ -33,8 +33,6 @@ first. None of the reference's producers emit such lines.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -47,104 +45,159 @@ from . import schemas as S
 # pandas-UDF parser (compiled-regex, Arrow-batched; the north_star default)
 # ---------------------------------------------------------------------------
 
-_RX_ROUTER_INT = {k: re.compile(p) for k, p in S.ROUTER_INT_KEYS.items()}
-_RX_ROUTER_PRESENT = {k: re.compile(p) for k, p in S.PAT_ROUTER_PRESENT.items()}
-_RX_CODE = re.compile(S.PAT_CODE)
-_RX_SOURCE = re.compile(S.PAT_SOURCE)
-_RX_MEM_FLOAT = {k: re.compile(p) for k, p in S.MEM_FLOAT_KEYS.items()}
-_RX_MEM_INT = {k: re.compile(p) for k, p in S.MEM_INT_KEYS.items()}
-_RX_LOAD = {k: re.compile(p) for k, p in S.LOAD_KEYS.items()}
-_RX_DYNO_ECODE = re.compile(r"^(\d\d|[+-]\d)$")
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _extract_str(t: pd.Series, rx: re.Pattern) -> pd.Series:
-    g = t.str.extract(rx)
-    return g[0].fillna(g[1]).fillna("") if g.shape[1] >= 2 else g[0].fillna("")
+def _named(pat: str, names=("v",)) -> str:
+    """pc.extract_regex needs named groups: rewrite each '(' capture in order."""
+    out, gi, i = [], 0, 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            out.append(pat[i : i + 2])
+            i += 2
+            continue
+        if c == "(" and not pat.startswith("(?", i):
+            out.append("(?P<%s>" % names[gi])
+            gi += 1
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_N_ROUTER_INT = {k: _named(p) for k, p in S.ROUTER_INT_KEYS.items()}
+_N_CODE = _named(S.PAT_CODE, ("q", "b"))
+_N_SOURCE = _named(S.PAT_SOURCE, ("q", "b"))
+_N_MEM_FLOAT = {k: _named(p) for k, p in S.MEM_FLOAT_KEYS.items()}
+_N_MEM_INT = {k: _named(p) for k, p in S.MEM_INT_KEYS.items()}
+_N_LOAD = {k: _named(p) for k, p in S.LOAD_KEYS.items()}
+_RX_DYNO_ECODE = r"^(\d\d|[+-]\d)$"
+
+
+def _ext(arr: "pa.Array", pat: str, field: str = "v") -> "pa.Array":
+    """First-match regex extract → string array with nulls where no match
+    (RE2 over Arrow string arrays — the reference's zero-copy byte-slice parse
+    path, vectorized)."""
+    return pc.struct_field(pc.extract_regex(arr, pat), field)
+
+
+def _coalesced(arr: "pa.Array", pat: str) -> np.ndarray:
+    """Quoted-or-bare string value. RE2 leaves non-participating alternation
+    groups as '' (not null), so the rule is 'quoted group if non-empty, else
+    bare group' — identical to the native parser's when(g1 != '', g1) and the
+    DuckDB oracle's CASE (all three agree, including on quoted-empty → '')."""
+    s = pc.extract_regex(arr, pat)
+    q = pc.struct_field(s, "q")
+    b = pc.struct_field(s, "b")
+    out = pc.if_else(pc.not_equal(q, ""), q, b)
+    out = pc.coalesce(out, pa.scalar("", type=pa.string()))
+    return out.to_numpy(zero_copy_only=False)
+
+
+def _to_f64(vals: "pa.Array") -> np.ndarray:
+    return pc.coalesce(pc.cast(vals, pa.float64()), pa.scalar(0.0)).to_numpy(zero_copy_only=False)
+
+
+def _to_i32(vals: "pa.Array") -> np.ndarray:
+    f = pc.cast(pc.cast(vals, pa.float64()), pa.int64())  # tolerate '+' sign path
+    return pc.coalesce(f, pa.scalar(0, type=pa.int64())).to_numpy(zero_copy_only=False).astype(np.int32)
 
 
 @pandas_udf(S.PARSED_STRUCT)
 def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
     n = len(text)
-    out = pd.DataFrame(
+    status = np.zeros(n, dtype=np.int32)
+    service = np.zeros(n, dtype=np.int32)
+    error_code = np.full(n, "", dtype=object)
+    dyno_ecode = np.zeros(n, dtype=np.int32)
+    source = np.full(n, "", dtype=object)
+    doubles = {k: np.zeros(n) for k in ("memory_cache", "memory_rss", "memory_swap",
+                                        "memory_total", "load_avg_1m", "load_avg_5m", "load_avg_15m")}
+    ints = {k: np.zeros(n, dtype=np.int32) for k in ("memory_pgpgin", "memory_pgpgout")}
+    parse_error = np.zeros(n, dtype=bool)
+
+    cls = msg_class.to_numpy()
+    text_pa = pa.array(text.fillna(""), type=pa.string())
+
+    def odd_quotes(sub):
+        return (
+            pc.bit_wise_and(pc.count_substring(sub, '"'), pa.scalar(1)).to_numpy(zero_copy_only=False) == 1
+        )
+
+    # --- router: 4 required ints; present-but-bad ⇒ drop
+    idx = np.flatnonzero(cls == S.CLS_ROUTER)
+    if len(idx):
+        sub = pc.take(text_pa, pa.array(idx))
+        err = odd_quotes(sub)
+        for key in ("connect", "service", "status", "bytes"):
+            ext = pc.extract_regex(sub, _N_ROUTER_INT[key])
+            vals = pc.struct_field(ext, "v")
+            present = pc.match_substring_regex(sub, S.PAT_ROUTER_PRESENT[key]).to_numpy(
+                zero_copy_only=False
+            )
+            bad = present & pc.is_null(vals).to_numpy(zero_copy_only=False)
+            err |= bad
+            if key == "status":
+                status[idx] = _to_i32(vals)
+            elif key == "service":
+                service[idx] = _to_i32(vals)
+        parse_error[idx] = err
+
+    # --- router_error: code kept, ints swallowed
+    idx = np.flatnonzero(cls == S.CLS_ROUTER_ERROR)
+    if len(idx):
+        sub = pc.take(text_pa, pa.array(idx))
+        parse_error[idx] = odd_quotes(sub)
+        error_code[idx] = _coalesced(sub, _N_CODE)
+
+    # --- dyno_error: Atoi(text[7:9]) or drop
+    idx = np.flatnonzero(cls == S.CLS_DYNO_ERROR)
+    if len(idx):
+        sub = pc.take(text_pa, pa.array(idx))
+        code2 = pc.utf8_slice_codeunits(sub, 7, 9)
+        ok = pc.match_substring_regex(code2, _RX_DYNO_ECODE).to_numpy(zero_copy_only=False)
+        vals = pc.if_else(pc.match_substring_regex(code2, _RX_DYNO_ECODE), code2, pa.scalar(None, pa.string()))
+        dyno_ecode[idx] = _to_i32(vals)
+        parse_error[idx] = ~ok
+
+    # --- dyno_mem / dyno_load: errors swallowed to 0
+    for cname, fkeys, ikeys in (
+        (S.CLS_DYNO_MEM, _N_MEM_FLOAT, _N_MEM_INT),
+        (S.CLS_DYNO_LOAD, _N_LOAD, {}),
+    ):
+        idx = np.flatnonzero(cls == cname)
+        if not len(idx):
+            continue
+        sub = pc.take(text_pa, pa.array(idx))
+        parse_error[idx] = odd_quotes(sub)
+        source[idx] = _coalesced(sub, _N_SOURCE)
+        for key, pat in fkeys.items():
+            doubles[key][idx] = _to_f64(_ext(sub, pat))
+        for key, pat in ikeys.items():
+            ints[key][idx] = _to_i32(_ext(sub, pat))
+
+    return pd.DataFrame(
         {
-            "status": np.zeros(n, dtype=np.int32),
-            "service": np.zeros(n, dtype=np.int32),
-            "error_code": np.full(n, "", dtype=object),
-            "dyno_ecode": np.zeros(n, dtype=np.int32),
-            "source": np.full(n, "", dtype=object),
-            "memory_cache": np.zeros(n),
-            "memory_pgpgin": np.zeros(n, dtype=np.int32),
-            "memory_pgpgout": np.zeros(n, dtype=np.int32),
-            "memory_rss": np.zeros(n),
-            "memory_swap": np.zeros(n),
-            "memory_total": np.zeros(n),
-            "load_avg_1m": np.zeros(n),
-            "load_avg_5m": np.zeros(n),
-            "load_avg_15m": np.zeros(n),
-            "parse_error": np.zeros(n, dtype=bool),
+            "status": status,
+            "service": service,
+            "error_code": error_code,
+            "dyno_ecode": dyno_ecode,
+            "source": source,
+            "memory_cache": doubles["memory_cache"],
+            "memory_pgpgin": ints["memory_pgpgin"],
+            "memory_pgpgout": ints["memory_pgpgout"],
+            "memory_rss": doubles["memory_rss"],
+            "memory_swap": doubles["memory_swap"],
+            "memory_total": doubles["memory_total"],
+            "load_avg_1m": doubles["load_avg_1m"],
+            "load_avg_5m": doubles["load_avg_5m"],
+            "load_avg_15m": doubles["load_avg_15m"],
+            "parse_error": parse_error,
         }
     )
-    text = text.fillna("")
-    cls = msg_class
-
-    # odd '"' count ⇒ unterminated string ⇒ scanner error for logfmt classes
-    logfmt_cls = cls.isin([S.CLS_ROUTER, S.CLS_ROUTER_ERROR, S.CLS_DYNO_MEM, S.CLS_DYNO_LOAD])
-    if logfmt_cls.any():
-        odd = (text[logfmt_cls].str.count('"') % 2).astype(bool)
-        out.loc[logfmt_cls, "parse_error"] = odd.to_numpy()
-
-    m = (cls == S.CLS_ROUTER).to_numpy()
-    if m.any():
-        t = text[m]
-        err = out.loc[m, "parse_error"].to_numpy()
-        for key in ("connect", "service", "status", "bytes"):
-            present = t.str.contains(_RX_ROUTER_PRESENT[key]).to_numpy()
-            v = pd.to_numeric(t.str.extract(_RX_ROUTER_INT[key])[0], errors="coerce")
-            err |= present & v.isna().to_numpy()
-            if key in ("status", "service"):
-                out.loc[m, key] = v.fillna(0).astype(np.int32).to_numpy()
-        out.loc[m, "parse_error"] = err
-
-    m = (cls == S.CLS_ROUTER_ERROR).to_numpy()
-    if m.any():
-        out.loc[m, "error_code"] = _extract_str(text[m], _RX_CODE).to_numpy()
-
-    m = (cls == S.CLS_DYNO_ERROR).to_numpy()
-    if m.any():
-        code2 = text[m].str.slice(7, 9)
-        ok = code2.str.fullmatch(_RX_DYNO_ECODE).fillna(False)
-        out.loc[m, "dyno_ecode"] = (
-            pd.to_numeric(code2.where(ok), errors="coerce").fillna(0).astype(np.int32).to_numpy()
-        )
-        out.loc[m, "parse_error"] = (~ok).to_numpy()
-
-    m = (cls == S.CLS_DYNO_MEM).to_numpy()
-    if m.any():
-        t = text[m]
-        out.loc[m, "source"] = _extract_str(t, _RX_SOURCE).to_numpy()
-        for key, rx in _RX_MEM_FLOAT.items():
-            out.loc[m, key] = (
-                pd.to_numeric(t.str.extract(rx)[0], errors="coerce").fillna(0.0).to_numpy()
-            )
-        for key, rx in _RX_MEM_INT.items():
-            out.loc[m, key] = (
-                pd.to_numeric(t.str.extract(rx)[0], errors="coerce").fillna(0).astype(np.int32).to_numpy()
-            )
-
-    m = (cls == S.CLS_DYNO_LOAD).to_numpy()
-    if m.any():
-        t = text[m]
-        out.loc[m, "source"] = _extract_str(t, _RX_SOURCE).to_numpy()
-        for key, rx in _RX_LOAD.items():
-            out.loc[m, key] = (
-                pd.to_numeric(t.str.extract(rx)[0], errors="coerce").fillna(0.0).to_numpy()
-            )
-
-    # restore exact dtypes (loc-assignment can upcast)
-    for c in ("status", "service", "dyno_ecode", "memory_pgpgin", "memory_pgpgout"):
-        out[c] = out[c].astype(np.int32)
-    out["parse_error"] = out["parse_error"].astype(bool)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -66,14 +66,14 @@ def _sink_dir(out_dir: str, sink: str) -> str:
 
 
 def _write(df: DataFrame, cfg: PipelineConfig, path: str, partition_by: str | None = "bucket") -> int:
-    n = df.count()
     if cfg.sink_format == "noop":
-        df.write.format("noop").mode("overwrite").save()
-    else:
-        w = df.write.mode("append")
-        if partition_by and partition_by in df.columns:
-            w = w.partitionBy(partition_by)
-        w.parquet(path)
+        # count() fully materializes the projection — no second action needed
+        return df.count()
+    n = df.count()
+    w = df.write.mode("append")
+    if partition_by and partition_by in df.columns:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
     return n
 
 
@@ -127,6 +127,10 @@ def run(
         df = spark.read.parquet(*chunk).withColumn("source_file", F.col("_metadata.file_path"))
         parsed = build_parsed(df, cfg, spark, dims)
         parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
+        # prune to exactly what the sinks/metrics/lineage consume before the
+        # persist — at 10^12 rows the cache footprint is the limiting factor
+        keep = ["token", "time", "turn_idx", "tool", "text", "msg_class", "p", "bucket", "source_file"]
+        parsed = parsed.select(*[c for c in keep if c in parsed.columns])
         parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
         parsed = parsed.persist(cfg.storage_level)
         try:
