@@ -49,8 +49,10 @@ def main() -> None:
         cfg = pipeline.PipelineConfig(parser=parser, sink_format="noop", write_metrics=False)
         return pipeline.run(spark, tpath, "/tmp/lm_bench_noop", cfg)
 
-    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"))
-    timed("pipeline_noop_native", lambda: run_pipeline("native"))
+    # one JIT/codegen/python-worker warmup pass, then measured runs
+    run_pipeline("pandas")
+    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"), runs=2)
+    timed("pipeline_noop_native", lambda: run_pipeline("native"), runs=2)
 
     df = spark.read.parquet(tpath)
 

@@ -1,0 +1,92 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a streaming daemon: HTTP batches arrive continuously and
+posters flush micro-batches every 1 s (poster.go:53-82). The Spark-native
+equivalent is a file-source readStream over the transcripts directory with a
+1-second processing-time trigger and a foreachBatch sink that reuses the
+EXACT batch dataflow (classify → parse → fan-out) — one code path for both
+modes. Tests use trigger(availableNow) for deterministic drain-and-stop.
+
+Ordering/watermarks: the reference never enforces event-time order (whatever
+arrives is written with its parsed timestamp), so the base stream needs no
+watermark; the optional windowed rollup uses withWatermark for state cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import classify as C
+from . import parse as P
+from . import schemas as S
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8):
+    return (
+        spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def _write_sinks_batch(batch_df: DataFrame, batch_id: int, out_dir: str, parser: str) -> None:
+    parsed = P.with_parsed(C.classify(batch_df), parser=parser).persist()
+    try:
+        for sink, builder in P.SINK_BUILDERS.items():
+            builder(parsed).write.mode("append").parquet(os.path.join(out_dir, "sinks", sink))
+        (
+            parsed.groupBy("msg_class")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "metrics", "class_counts_stream"))
+        )
+    finally:
+        parsed.unpersist()
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    parser: str = "pandas",
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+):
+    """Start the streaming pipeline; returns the StreamingQuery.
+
+    checkpointLocation gives exactly-once per micro-batch over the file
+    source — the streaming twin of the batch lineage ledger.
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: _write_sinks_batch(df, bid, out_dir, parser)
+    ).option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_checkpoint"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_rollup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed router-request rollup with late-data watermark —
+    the streaming analog of aggregate.router_rollup_windowed."""
+    stream = read_transcript_stream(spark, input_dir)
+    cl = C.classify(stream).withWatermark("ts", watermark)
+    router = cl.filter((F.col("msg_class") == S.CLS_ROUTER))
+    return router.groupBy(F.window("ts", window)).agg(
+        F.count("*").alias("n_requests"),
+        F.percentile_approx(
+            F.regexp_extract("text", S.ROUTER_INT_KEYS["service"], 1).cast("int"), 0.5
+        ).alias("p50_service"),
+    )

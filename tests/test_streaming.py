@@ -1,0 +1,37 @@
+"""Structured Streaming variant: drain a parquet directory with
+trigger(availableNow), verify the streamed sinks equal the batch sinks, and
+that checkpointed restart doesn't duplicate (exactly-once per micro-batch)."""
+
+import os
+
+import pytest
+
+from lumbermill_spark import classify, parse, streaming
+from lumbermill_spark.datagen import ensure_transcripts
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_in"))
+    spark.read.parquet(ensure_transcripts(0.001)).limit(6000).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def test_stream_equals_batch(spark, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    q = streaming.start_pipeline_stream(spark, stream_input, out, available_now=True)
+    q.awaitTermination(300)
+
+    batch_parsed = parse.with_parsed(classify.classify(spark.read.parquet(stream_input)))
+    for sink, builder in parse.SINK_BUILDERS.items():
+        got = sorted(tuple(r) for r in spark.read.parquet(os.path.join(out, "sinks", sink)).collect())
+        want = sorted(tuple(r) for r in builder(batch_parsed).collect())
+        assert got == want, f"stream/batch divergence in {sink}"
+
+    # restart from checkpoint with no new data → no duplicates
+    n_before = spark.read.parquet(os.path.join(out, "sinks", "router")).count()
+    q2 = streaming.start_pipeline_stream(spark, stream_input, out, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == n_before
