@@ -179,6 +179,12 @@ def _q_sim_lsh_topk(spark, sf_dir):
     return similarity.topk_lsh(_embeds(spark, sf_dir))
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    from lumbermill_spark.extras import similarity
+
+    return similarity.topk_ivf(_embeds(spark, sf_dir))
+
+
 def _q_text_tokens(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -226,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "sim_topk_bruteforce": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -264,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed_cosine": OX.dedup_embed_cosine(),
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
         "sim_lsh_topk": OX.sim_lsh_topk(),
+        "sim_ivf_topk": OX.sim_ivf_topk(),
         "text_tokens": OX.text_tokens(),
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),

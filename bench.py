@@ -54,6 +54,18 @@ def main() -> None:
     timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"), runs=2)
     timed("pipeline_noop_native", lambda: run_pipeline("native"), runs=2)
 
+    def run_full_sink():
+        import shutil
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="lm_bench_full_")
+        try:
+            pipeline.run(spark, tpath, out, pipeline.PipelineConfig(parser="pandas"))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed("pipeline_parquet_sink", run_full_sink)
+
     df = spark.read.parquet(tpath)
 
     def agg_counts():

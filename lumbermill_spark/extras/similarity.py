@@ -23,6 +23,10 @@ TOPK = 5
 LSH_TOPK = 3
 N_QUERIES = 8
 N_QUERIES_LSH = 32
+IVF_CENTROIDS = 16  # vec_id 0..15 serve as deterministic coarse centroids
+IVF_NPROBE = 2
+IVF_TOPK = 3
+N_QUERIES_IVF = 24
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -61,6 +65,58 @@ def topk_bruteforce(embeddings: DataFrame, k: int = TOPK, n_queries: int = N_QUE
             F.col("vec_id").alias("neighbor_id"),
             cosine_expr(F.col("qv"), F.col("v")).alias("cos"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+    )
+
+
+def _assign_cells(e: DataFrame, centroids: DataFrame, nprobe: int, id_col: str) -> DataFrame:
+    """Per vector: its nprobe nearest centroid cells (by cosine), rank-stable."""
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        id_col, "v", F.col("cid"), cosine_expr(F.col("v"), F.col("cv")).alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_col, "v", "cid")
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    k: int = IVF_TOPK,
+    n_queries: int = N_QUERIES_IVF,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (the first
+    IVF_CENTROIDS vectors stand in for k-means centroids — same cells every
+    run, so the oracle can replay the whole path), candidates assigned to
+    their single nearest cell, queries probing their nprobe nearest cells.
+    At scale: centroids broadcast, candidates shuffle once on cell id, each
+    probe is an equality join — the classic IVF pruning shape."""
+    e = _vecs(embeddings)
+    centroids = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cand = _assign_cells(e, centroids, 1, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cid"
+    )
+    q = _assign_cells(
+        e.filter(F.col("vec_id") < n_queries).withColumnRenamed("vec_id", "query_id"),
+        centroids,
+        nprobe,
+        "query_id",
+    ).select("query_id", F.col("v").alias("qv"), "cid")
+    scored = (
+        cand.join(q, on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("nv")).alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

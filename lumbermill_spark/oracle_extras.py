@@ -80,11 +80,15 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {D.COSINE_DUP_TH
 """
 
 
-_COS = """
-list_sum([q.qv[i] * e.v[i] FOR i IN range(1, len(e.v) + 1)])
-  / (sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, len(q.qv) + 1)]))
-     * sqrt(list_sum([e.v[i] * e.v[i] FOR i IN range(1, len(e.v) + 1)])))
+def _cos(a: str, b: str) -> str:
+    return f"""
+list_sum([{a}[i] * {b}[i] FOR i IN range(1, len({b}) + 1)])
+  / (sqrt(list_sum([{a}[i] * {a}[i] FOR i IN range(1, len({a}) + 1)]))
+     * sqrt(list_sum([{b}[i] * {b}[i] FOR i IN range(1, len({b}) + 1)])))
 """
+
+
+_COS = _cos("q.qv", "e.v")
 
 
 def sim_topk_bruteforce() -> str:
@@ -97,6 +101,31 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS score
 FROM r WHERE rank <= {SIM.TOPK}
+"""
+
+
+def sim_ivf_topk() -> str:
+    cos_vc = _cos("e.v", "c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SIM.IVF_CENTROIDS}),
+ca AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c) WHERE r = 1),
+qa AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c WHERE e.vec_id < {SIM.N_QUERIES_IVF}) WHERE r <= {SIM.IVF_NPROBE}),
+s AS (
+  SELECT qa.query_id, ca.neighbor_id,
+    {_cos('qa.qv', 'ca.nv')} AS cos
+  FROM ca JOIN qa ON ca.cid = qa.cid WHERE ca.neighbor_id <> qa.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS score
+FROM r WHERE rank <= {SIM.IVF_TOPK}
 """
 
 

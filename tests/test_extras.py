@@ -73,6 +73,31 @@ def test_topk_bruteforce_matches_numpy(spark, embeds):
         assert [n for _, n in sorted(got[q])] == expect, f"query {q}"
 
 
+def test_ivf_topk_matches_numpy_replay(spark, embeds):
+    rows = embeds.collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {i: V[i] for i in range(similarity.IVF_CENTROIDS)}
+
+    def cells(v, nprobe):
+        ranked = sorted(((cos(v, cv), -cid) for cid, cv in cents.items()), reverse=True)
+        return [-negid for _, negid in ranked[:nprobe]]
+
+    cand_cell = {i: cells(v, 1)[0] for i, v in V.items()}
+    got = {}
+    for r in similarity.topk_ivf(embeds).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in range(similarity.N_QUERIES_IVF):
+        probe = set(cells(V[q], similarity.IVF_NPROBE))
+        pool = [i for i, c in cand_cell.items() if c in probe and i != q]
+        ranked = sorted(((cos(V[q], V[i]), -i) for i in pool), reverse=True)
+        expect = [-negid for _, negid in ranked[: similarity.IVF_TOPK]]
+        assert [n for _, n in sorted(got.get(q, []))] == expect, f"query {q}"
+
+
 def test_lsh_topk_subset_of_bucket(spark, embeds):
     out = similarity.topk_lsh(embeds)
     e = embeds.select("vec_id", similarity.sign_bucket_expr(F.col("embedding").cast("array<double>")).alias("b"))
