@@ -267,10 +267,19 @@ def parse_fields_native(msg_class: Column, text: Column) -> Column:
     )
 
 
+# The UDF IS deterministic; the marker is an optimizer fence. Without it,
+# Catalyst clones the UDF call when a downstream filter references one struct
+# field and a projection references others (filter-below-project each get
+# their own ArrowEvalPython) — the whole input would be parsed twice per sink
+# in un-persisted plans. asNondeterministic() forbids the duplication, so
+# every plan carries exactly ONE Arrow exchange (asserted by tests/test_plans).
+_parse_fields_once = parse_fields_udf.asNondeterministic()
+
+
 def with_parsed(df: DataFrame, parser: str = "pandas") -> DataFrame:
     """classified df → + ``p`` struct column (one parse pass, both variants)."""
     if parser == "pandas":
-        p = parse_fields_udf(F.col("msg_class"), F.col("text"))
+        p = _parse_fields_once(F.col("msg_class"), F.col("text"))
     elif parser == "native":
         p = parse_fields_native(F.col("msg_class"), F.col("text"))
     else:

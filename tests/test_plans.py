@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the plan SHAPES that make this engine
+scale must not silently regress (broadcast joins stay broadcast, exactly one
+Python/Arrow exchange per sink, dimension scans pruned)."""
+
+from pyspark.sql import functions as F
+
+from lumbermill_spark import classify, datagen, enrich, parse
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_uses_broadcast_join(spark):
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    out = enrich.enrich(classify.classify(df), enrich.load_dims(spark))
+    plan = _plan(out.groupBy("tool_kind").count())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_single_arrow_exchange_per_sink(spark):
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    parsed = parse.with_parsed(classify.classify(df), "pandas")
+    plan = _plan(parse.sink_router(parsed))
+    assert plan.count("ArrowEvalPython") == 1, "parse must be ONE vectorized UDF pass"
+
+
+def test_native_parser_has_no_python(spark):
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    parsed = parse.with_parsed(classify.classify(df), "native")
+    plan = _plan(parse.sink_router(parsed))
+    assert "Python" not in plan
+    assert "*(" in plan  # whole-stage-codegen'd spans
+
+
+def test_similarity_broadcasts_queries(spark):
+    from lumbermill_spark.extras import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(similarity.topk_bruteforce(e))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_dim_scan(spark):
+    """The enrich dims must be pruned to the join key when downstream only
+    needs the key (Catalyst column pruning through the broadcast join)."""
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    out = enrich.enrich(classify.classify(df), enrich.load_dims(spark))
+    plan = _plan(parse.sink_router(parse.with_parsed(out, "pandas")))
+    assert "ReadSchema: struct<tool:string>" in plan
