@@ -117,6 +117,18 @@ def _q_turn_ordering(spark, sf_dir):
     )
 
 
+def _q_lineage_counts(spark, sf_dir):
+    """Per-source-file rows-in-per-class lineage frame (basename-keyed so the
+    DuckDB oracle's filename column compares equal)."""
+    from lumbermill_spark import classify, datagen
+
+    tp = datagen.ensure_transcripts(datagen.sf_from_dir(sf_dir))
+    df = spark.read.parquet(tp).withColumn(
+        "source_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    )
+    return classify.classify(df).groupBy("source_file", "msg_class").agg(F.count("*").alias("rows"))
+
+
 def _q_frames_replay(spark, sf_dir):
     from lumbermill_spark import datagen, frames
 
@@ -246,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_sink_freshness": _q_sink_freshness,
         "lm_turn_ordering": _q_turn_ordering,
         "lm_frames_replay": _q_frames_replay,
+        "lm_lineage_counts": _q_lineage_counts,
     }
     for sink in S.ALL_SINKS:
         q["lm_sink_" + sink] = _sink_query(sink)
@@ -290,4 +303,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_sink_freshness": O.sink_freshness(tp),
         "lm_turn_ordering": O.turn_ordering(tp),
         "lm_frames_replay": O.frames_replay_counts(fp),
+        "lm_lineage_counts": O.lineage_counts(tp),
     }

@@ -221,6 +221,19 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 """
 
 
+def lineage_counts(transcripts_path: str) -> str:
+    """Per-source-file lineage: filename (basename) × msg_class row counts —
+    the rows-in side of the lineage ledger, oracle-checked."""
+    inner = classified_cte(transcripts_path).replace(
+        f"read_parquet('{transcripts_path}')",
+        f"(SELECT *, regexp_extract(filename, '([^/]+)$', 1) AS source_file"
+        f" FROM read_parquet('{transcripts_path}', filename=true))",
+    )
+    return inner + """
+SELECT source_file, msg_class, count(*) AS rows FROM c GROUP BY 1, 2
+"""
+
+
 def frames_replay_counts(frames_path: str) -> str:
     """Raw logplex-frame replay: regex header split (lpx/reader.go:43-116),
     stateful token override (drain.go:103-105), 2-format time parse with
