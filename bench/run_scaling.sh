@@ -23,6 +23,7 @@ run_one() {
     --driver-memory "${LUMBERMILL_DRIVER_MEM:-16g}" \
     --conf "spark.sql.shuffle.partitions=${cores}" \
     --conf spark.sql.adaptive.enabled=true \
+    --conf spark.sql.files.maxPartitionBytes=8m \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.ansi.enabled=false \
