@@ -94,4 +94,15 @@ def replay_class_counts(frames: DataFrame) -> DataFrame:
         .when(F.col("ts").isNull(), "time_parse_error")
         .otherwise(base)
     )
-    return df.withColumn("counter", cls).groupBy("counter").agg(F.count("*").alias("n"))
+    by_class = df.withColumn("counter", cls).groupBy("counter").agg(F.count("*").alias("n"))
+    # batch + total-line counters (drain.go:89 batchCounter, drain.go:276 linesCounter)
+    totals = frames.agg(
+        F.countDistinct("batch_id").alias("batches"), F.count("*").alias("lines")
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("batches"), F.col("batches"), F.lit("lines"), F.col("lines")
+            )
+        ).alias("counter", "n")
+    )
+    return by_class.unionByName(totals)

@@ -275,4 +275,6 @@ SELECT
   END AS counter,
   count(*) AS n
 FROM o GROUP BY 1
+UNION ALL SELECT 'batches', count(DISTINCT batch_id) FROM f
+UNION ALL SELECT 'lines', count(*) FROM f
 """

@@ -58,4 +58,10 @@ def test_replay_counts_time_parse_error_precedence(spark):
         ("b1", 2, "t.h", _frame("2025-01-01T00:00:02+00:00", "heroku", "router", BODY)),
     ]
     counts = {r["counter"]: r["n"] for r in frames.replay_class_counts(_frames_df(spark, rows)).collect()}
-    assert counts == {"unknown_user": 1, "time_parse_error": 1, "router": 1}
+    assert counts == {
+        "unknown_user": 1,
+        "time_parse_error": 1,
+        "router": 1,
+        "batches": 1,
+        "lines": 3,
+    }
