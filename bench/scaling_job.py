@@ -44,15 +44,22 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
 
+    parsers = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["pandas", "native"])
     out = {"cores": cores, "turns": n_turns}
-    for parser in ("pandas", "native"):
-        one_run(parser)  # warmup (JIT, codegen cache, python workers, page cache)
+    for parser in parsers:
+        # two warmups: JIT + codegen cache + python workers + OS page cache —
+        # measured: the first post-warmup run still carries ~1.5x residue
+        # with only one
+        one_run(parser)
+        one_run(parser)
         secs = [one_run(parser) for _ in range(runs)]
         med = median(secs)
         out[parser] = {
             "runs": secs,
             "median_sec": med,
-            "turns_per_sec": round(n_turns / med, 1),
+            "best_sec": min(secs),
+            "turns_per_sec_median": round(n_turns / med, 1),
+            "turns_per_sec_best": round(n_turns / min(secs), 1),
         }
     print(json.dumps(out))
     spark.stop()

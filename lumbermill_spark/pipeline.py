@@ -128,16 +128,64 @@ def run(
         parsed = build_parsed(df, cfg, spark, dims)
         parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
         # prune to exactly what the sinks/metrics/lineage consume before the
-        # persist — at 10^12 rows the cache footprint is the limiting factor
+        # persist — at 10^12 rows the cache/shuffle footprint is the limiting
+        # factor. After the parse, the raw text is only consumed by the
+        # events_dyno sink's `message` column (drain.go:187), i.e. dyno_error
+        # rows (~3%); nulling it elsewhere cuts the shuffled+cached bytes by
+        # an order of magnitude with zero semantic change.
+        parsed = parsed.withColumn(
+            "text", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("text"))
+        )
         keep = ["token", "time", "turn_idx", "tool", "text", "msg_class", "p", "bucket", "source_file"]
         parsed = parsed.select(*[c for c in keep if c in parsed.columns])
         parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
-        parsed = parsed.persist(cfg.storage_level)
+        # the cache exists for the fan-out (6 downstream consumers in parquet
+        # mode); in noop mode the single fused aggregation is the only
+        # consumer, so building the columnar cache would be pure overhead
+        materialize = cfg.sink_format != "noop"
+        if materialize:
+            parsed = parsed.persist(cfg.storage_level)
         try:
-            # ONE aggregation pass materializes the cache and yields all five
-            # sink row counts (replaces five count jobs)
-            for sink, n in agg.sink_counts(parsed).items():
-                totals[sink] += n
+            # ONE grouped aggregation materializes the cache and yields the
+            # per-class counters, all five sink row counts, AND the lineage
+            # frame in a single job (driver-side derivation from a tiny
+            # grouped result — the map-side partial agg keeps it one scan)
+            summary = (
+                parsed.groupBy(
+                    "source_file",
+                    "msg_class",
+                    F.col("p.parse_error").alias("perr"),
+                    (F.col("p.source") == "").alias("src_empty"),
+                )
+                .count()
+                .collect()
+            )
+            chunk_counts: dict[str, int] = {}
+            lineage_rows: dict[tuple[str, str], int] = {}
+            sink_of = {
+                S.CLS_ROUTER: S.SINK_ROUTER,
+                S.CLS_ROUTER_ERROR: S.SINK_EVENTS_ROUTER,
+                S.CLS_DYNO_MEM: S.SINK_DYNO_MEM,
+                S.CLS_DYNO_LOAD: S.SINK_DYNO_LOAD,
+                S.CLS_DYNO_ERROR: S.SINK_EVENTS_DYNO,
+            }
+            for r in summary:
+                n, mc = r["count"], r["msg_class"]
+                chunk_counts[mc] = chunk_counts.get(mc, 0) + n
+                chunk_counts["lines"] = chunk_counts.get("lines", 0) + n
+                if r["perr"]:
+                    chunk_counts["logfmt_parse_error"] = (
+                        chunk_counts.get("logfmt_parse_error", 0) + n
+                    )
+                lineage_rows[(r["source_file"], mc)] = (
+                    lineage_rows.get((r["source_file"], mc), 0) + n
+                )
+                sink = sink_of.get(mc)
+                if sink and not r["perr"]:
+                    if mc in (S.CLS_DYNO_MEM, S.CLS_DYNO_LOAD) and r["src_empty"]:
+                        continue  # empty-source rows silently dropped (drain.go:201,232)
+                    totals[sink] += n
+
             # fan-out: 5 filtered projections over the cached parse pass
             for sink, builder in P.SINK_BUILDERS.items():
                 sdf = builder(parsed).withColumn(
@@ -145,21 +193,6 @@ def run(
                 )
                 _write(sdf, cfg, _sink_dir(out_dir, sink))
 
-            # metrics / aggregate side-outputs (drain.go counters analog):
-            # one grouped job, counters derived driver-side
-            grouped = (
-                parsed.groupBy("msg_class", F.col("p.parse_error").alias("perr"))
-                .count()
-                .collect()
-            )
-            chunk_counts: dict[str, int] = {}
-            for r in grouped:
-                chunk_counts[r["msg_class"]] = chunk_counts.get(r["msg_class"], 0) + r["count"]
-                chunk_counts["lines"] = chunk_counts.get("lines", 0) + r["count"]
-                if r["perr"]:
-                    chunk_counts["logfmt_parse_error"] = (
-                        chunk_counts.get("logfmt_parse_error", 0) + r["count"]
-                    )
             for k, v in chunk_counts.items():
                 cls_totals[k] = cls_totals.get(k, 0) + v
             rows_in += chunk_counts.get("lines", 0)
@@ -174,13 +207,17 @@ def run(
                     os.path.join(out_dir, "metrics", "router_rollup")
                 )
 
-            # lineage ledger commit — AFTER sink writes succeeded
+            # lineage ledger commit — AFTER sink writes succeeded (from the
+            # already-collected summary; no extra cluster job)
             if cfg.sink_format != "noop":
-                lin.commit_chunk(
-                    spark, out_dir, run_id, "%s_%04d" % (run_id, ci), lin.lineage_counts(parsed)
+                ldf = spark.createDataFrame(
+                    [(f, m, n) for (f, m), n in sorted(lineage_rows.items())],
+                    "source_file string, msg_class string, rows long",
                 )
+                lin.commit_chunk(spark, out_dir, run_id, "%s_%04d" % (run_id, ci), ldf)
         finally:
-            parsed.unpersist()
+            if materialize:
+                parsed.unpersist()
 
     return PipelineResult(
         rows_in=rows_in,
