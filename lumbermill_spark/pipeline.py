@@ -49,6 +49,11 @@ class PipelineConfig:
     enrich: bool = True
     write_metrics: bool = True
     chunk_files: int | None = None  # None → single chunk (whole input)
+    # explicit salted routing shuffle before the fan-out. True is the real
+    # pipeline (sink placement needs it); False lets the aggregation's own
+    # hash exchange be the only routing — used to isolate the shuffle's cost
+    # in scaling measurements
+    route_shuffle: bool = True
     storage_level: StorageLevel = field(default_factory=lambda: StorageLevel.MEMORY_AND_DISK)
 
 
@@ -138,7 +143,8 @@ def run(
         )
         keep = ["token", "time", "turn_idx", "tool", "text", "msg_class", "p", "bucket", "source_file"]
         parsed = parsed.select(*[c for c in keep if c in parsed.columns])
-        parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
+        if cfg.route_shuffle:
+            parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
         # the cache exists for the fan-out (6 downstream consumers in parquet
         # mode); in noop mode the single fused aggregation is the only
         # consumer, so building the columnar cache would be pure overhead
