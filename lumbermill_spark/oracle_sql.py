@@ -171,7 +171,7 @@ SELECT token,
   round(quantile_cont(service, 0.5), 6) AS p50_service,
   round(quantile_cont(service, 0.95), 6) AS p95_service,
   round(quantile_cont(service, 0.99), 6) AS p99_service,
-  sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS n_5xx
+  CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx
 FROM r GROUP BY token
 """
 

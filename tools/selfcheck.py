@@ -16,19 +16,23 @@ import duckdb  # noqa: E402
 
 
 def norm_cell(v):
+    # Strict, driver-like normalization: floats keep full precision and stay
+    # type-distinct from ints (a DuckDB HUGEINT->float64 12.0 vs Spark int64 12
+    # is a MISMATCH — this exact dtype skew caused the round-1
+    # lm_router_rollup hash failure).
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return repr(v)
     if hasattr(v, "timestamp"):  # datetime
         return v.isoformat()
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
+            return repr(float(v))
     except Exception:
         pass
     return v
