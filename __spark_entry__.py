@@ -275,12 +275,10 @@ def oracle_sql() -> dict[str, str]:
     tp, fp = paths["transcripts"], paths["frames"]
     return {
         # training-data extras (documents/embeddings views)
-        # dedup_minhash_lsh / dedup_simhash intentionally have no SQL oracle
-        # (signature computation is not SQL-expressible) → rows-only check;
-        # their *verification* semantics are covered by dedup_ngram_jaccard
-        # and dedup_exact which are fully oracle-checked.
         "dedup_exact": OX.dedup_exact(),
         "dedup_ngram_jaccard": OX.dedup_ngram_jaccard(),
+        "dedup_minhash_lsh": OX.dedup_minhash_lsh(),
+        "dedup_simhash": OX.dedup_simhash(),
         "dedup_embed_cosine": OX.dedup_embed_cosine(),
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
         "sim_lsh_topk": OX.sim_lsh_topk(),

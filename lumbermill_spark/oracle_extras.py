@@ -55,6 +55,94 @@ SELECT doc_a, doc_b, round(sim, 6) AS sim FROM pairs WHERE sim >= {D.NGRAM_THRES
 """
 
 
+def dedup_minhash_lsh() -> str:
+    """Independent DuckDB replay of the md5 double-hash minhash (see
+    extras/dedup.py §3 for the math): identical signatures → identical band
+    keys → identical candidate set → identical verified pairs."""
+    k, rpb = D.SHINGLE_K, D.MINHASH_PERMS // D.MINHASH_BANDS
+    return f"""
+WITH {AUG_DOCS},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(length(text)-{k - 1}, 1)),
+    i -> substring(text, i, {k}))) AS shingles
+  FROM docs),
+hx AS (
+  SELECT doc_id, shingles, list_transform(shingles,
+    s -> ('0x'||substring(md5(s),1,8))::BIGINT % {D.MINHASH_P}) AS xs
+  FROM sh),
+sg AS (
+  SELECT doc_id, shingles, list_transform(generate_series(1,{D.MINHASH_PERMS}),
+    j -> list_min(list_transform(xs,
+      x -> (([{",".join(str(v) for v in D.PERM_A)}][j]) * x
+            + ([{",".join(str(v) for v in D.PERM_B)}][j])) % {D.MINHASH_P}))) AS sig
+  FROM hx),
+bd AS (
+  SELECT doc_id, b AS band_idx,
+    md5(array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')) AS band_key
+  FROM sg CROSS JOIN (SELECT unnest(generate_series(0,{D.MINHASH_BANDS - 1})) AS b) bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+est AS (  -- signature-estimate pre-filter, mirrors the Spark stage exactly
+  SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
+  FROM cand JOIN sg x ON x.doc_id = cand.doc_a JOIN sg y ON y.doc_id = cand.doc_b
+  WHERE len(list_filter(generate_series(1,{D.MINHASH_PERMS}), i -> x.sig[i] = y.sig[i]))
+        / {D.MINHASH_PERMS}.0 >= {D.MINHASH_ESTIMATE_CUTOFF}),
+p AS (
+  SELECT doc_a, doc_b,
+    round(len(list_intersect(sh_a, sh_b))::DOUBLE
+          / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS sim
+  FROM est)
+SELECT doc_a, doc_b, sim FROM p WHERE sim >= {D.MINHASH_VERIFY_THRESHOLD}
+"""
+
+
+def dedup_simhash() -> str:
+    """Independent DuckDB replay of the md5-bit simhash (extras/dedup.py §4):
+    token-hash bits via unnest+group-by instead of Spark's fold, same values."""
+    return f"""
+WITH {AUG_DOCS},
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                                    t -> t <> '')) AS tok
+  FROM docs),
+th AS (
+  SELECT doc_id,
+    ('0x'||substring(md5(tok),1,15))::BIGINT AS ha,
+    ('0x'||substring(md5(tok),16,4))::BIGINT AS hb
+  FROM toks),
+bits AS (
+  SELECT doc_id, j,
+    CASE WHEN j < 60 THEN (ha >> j) & 1 ELSE (hb >> (j-60)) & 1 END AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0,{D.SIMHASH_BITS - 1})) AS j) js),
+acc AS (
+  SELECT doc_id, j, CASE WHEN sum(2*bit-1) > 0 THEN 1 ELSE 0 END AS sbit
+  FROM bits GROUP BY doc_id, j),
+sigp AS (
+  SELECT doc_id, j // 16 AS band_idx, sum(sbit::BIGINT << (j % 16))::BIGINT AS band_val
+  FROM acc GROUP BY doc_id, j // 16),
+sig AS (  -- docs with zero tokens have no rows above: all-zero signature
+  SELECT d.doc_id, b.band_idx, coalesce(s.band_val, 0)::BIGINT AS band_val
+  FROM docs d
+  CROSS JOIN (SELECT unnest(generate_series(0,{D.SIMHASH_BANDS - 1})) AS band_idx) b
+  LEFT JOIN sigp s ON s.doc_id = d.doc_id AND s.band_idx = b.band_idx),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b USING (band_idx, band_val)
+  WHERE a.doc_id < b.doc_id),
+sigw AS (SELECT doc_id, list(band_val ORDER BY band_idx) AS bands FROM sig GROUP BY doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+    CAST(bit_count(xor(x.bands[1], y.bands[1])) + bit_count(xor(x.bands[2], y.bands[2]))
+       + bit_count(xor(x.bands[3], y.bands[3])) + bit_count(xor(x.bands[4], y.bands[4]))
+       AS INT) AS hamming
+  FROM cand JOIN sigw x ON x.doc_id = cand.doc_a JOIN sigw y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {D.SIMHASH_MAX_HAMMING}
+"""
+
+
 def dedup_embed_cosine() -> str:
     return f"""
 WITH base AS (

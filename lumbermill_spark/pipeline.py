@@ -11,10 +11,10 @@ Shape of the plan (and why it scales):
     cache is the Spark analog of the reference's single fused loop. At real
     cluster scale persist(DISK_ONLY/MEMORY_AND_DISK) bounds memory; the
     alternative (5 re-scans with pushed-down class filters) is a config flag;
-  * fan-out writes are parquet appends partitioned by an md5 ``bucket``
-    column (the consistent-hash ring analog, route.py) — Iceberg's
-    ``bucket(B, token)`` transform would replace this 1:1 when the runtime
-    jar is available (sink abstraction below);
+  * fan-out writes go through the sinks.Sink seam: parquet appends
+    partitioned by (chunk_id, md5 ``bucket``) — the consistent-hash ring
+    analog (route.py) — or Iceberg's ``bucket(B, token)`` hidden
+    partitioning via sinks.IcebergSink when a catalog is configured;
   * hot-key skew is neutralized by salted repartition before the write
     (north_rule), and AQE skew-join/coalesce is on (session.py);
   * losslessness: Spark spills, never drops (vs destination.go:38-44).
@@ -37,12 +37,13 @@ from . import lineage as lin
 from . import parse as P
 from . import route
 from . import schemas as S
+from . import sinks as sink_mod
 
 
 @dataclass
 class PipelineConfig:
     parser: str = "pandas"  # 'pandas' (north_star default) | 'native'
-    sink_format: str = "parquet"  # 'parquet' | 'noop'
+    sink_format: str = "parquet"  # 'parquet' | 'noop' | 'iceberg' (sinks.py)
     n_buckets: int = 16
     n_salts: int = 8
     repartition: int | None = None  # defaults to spark.sql.shuffle.partitions
@@ -70,13 +71,11 @@ def _sink_dir(out_dir: str, sink: str) -> str:
     return os.path.join(out_dir, "sinks", sink)
 
 
-def _write(df: DataFrame, cfg: PipelineConfig, path: str, partition_by: str | None = "bucket") -> None:
-    if cfg.sink_format == "noop":
-        return  # sink rows are counted by the single aggregate.sink_counts pass
-    w = df.write.mode("append")
-    if partition_by and partition_by in df.columns:
-        w = w.partitionBy(partition_by)
-    w.parquet(path)
+# Sink writes go through the sinks.Sink seam (parquet | noop | iceberg).
+# Every write lands under a chunk_id=<id> partition — the exactly-once unit:
+# lineage.cleanup_orphans removes the whole partition if the chunk's .done
+# marker is missing, so a crash between an append and the marker cannot
+# leave duplicate rows for the retry to double.
 
 
 def build_parsed(df: DataFrame, cfg: PipelineConfig, spark: SparkSession, dims=None) -> DataFrame:
@@ -116,6 +115,9 @@ def run(
         .collect()
     )
     if resume:
+        orphans = lin.cleanup_orphans(out_dir)  # drop partial chunks BEFORE redoing them
+        if orphans:
+            print(f"[pipeline] resume: removed {len(orphans)} orphan chunk partition(s)")
         done = lin.completed_files(spark, out_dir)
         files = [f for f in all_files if f not in done]
     else:
@@ -123,12 +125,14 @@ def run(
     chunk_size = cfg.chunk_files or max(len(files), 1)
     chunks = [files[i : i + chunk_size] for i in range(0, len(files), chunk_size)] if files else []
 
+    sink_writer = sink_mod.make_sink(spark, cfg.sink_format, cfg.n_buckets)
     dims = enrich_mod.load_dims(spark) if cfg.enrich else None
     totals: dict[str, int] = {k: 0 for k in S.ALL_SINKS}
     cls_totals: dict[str, int] = {}
     rows_in = 0
 
     for ci, chunk in enumerate(chunks):
+        chunk_id = "%s_%04d" % (run_id, ci)
         df = spark.read.parquet(*chunk).withColumn("source_file", F.col("_metadata.file_path"))
         parsed = build_parsed(df, cfg, spark, dims)
         parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
@@ -193,24 +197,33 @@ def run(
                     totals[sink] += n
 
             # fan-out: 5 filtered projections over the cached parse pass
-            for sink, builder in P.SINK_BUILDERS.items():
+            for sink_name, builder in P.SINK_BUILDERS.items():
                 sdf = builder(parsed).withColumn(
                     "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
                 )
-                _write(sdf, cfg, _sink_dir(out_dir, sink))
+                sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
 
             for k, v in chunk_counts.items():
                 cls_totals[k] = cls_totals.get(k, 0) + v
             rows_in += chunk_counts.get("lines", 0)
             if cfg.write_metrics and cfg.sink_format != "noop":
-                agg.class_counts(parsed, parsed).coalesce(1).write.mode("append").parquet(
-                    os.path.join(out_dir, "metrics", "class_counts")
+                sink_writer.write(
+                    agg.class_counts(parsed, parsed).coalesce(1),
+                    os.path.join(out_dir, "metrics", "class_counts"),
+                    chunk_id,
+                    None,
                 )
-                agg.router_error_code_counts(parsed).coalesce(1).write.mode("append").parquet(
-                    os.path.join(out_dir, "metrics", "router_error_codes")
+                sink_writer.write(
+                    agg.router_error_code_counts(parsed).coalesce(1),
+                    os.path.join(out_dir, "metrics", "router_error_codes"),
+                    chunk_id,
+                    None,
                 )
-                agg.router_rollup(P.sink_router(parsed)).coalesce(4).write.mode("append").parquet(
-                    os.path.join(out_dir, "metrics", "router_rollup")
+                sink_writer.write(
+                    agg.router_rollup(P.sink_router(parsed)).coalesce(4),
+                    os.path.join(out_dir, "metrics", "router_rollup"),
+                    chunk_id,
+                    None,
                 )
 
             # lineage ledger commit — AFTER sink writes succeeded (from the
@@ -220,7 +233,7 @@ def run(
                     [(f, m, n) for (f, m), n in sorted(lineage_rows.items())],
                     "source_file string, msg_class string, rows long",
                 )
-                lin.commit_chunk(spark, out_dir, run_id, "%s_%04d" % (run_id, ci), ldf)
+                lin.commit_chunk(spark, out_dir, run_id, chunk_id, ldf)
         finally:
             if materialize:
                 parsed.unpersist()

@@ -1,0 +1,102 @@
+"""Sink writer abstraction — the seam the reference's destination layer maps
+onto (poster.go:84-111 picks a destination per point series; influxdb-go's
+client shards writes across hosts, influxdb.go:384-419).
+
+Three implementations behind one interface:
+
+* ``ParquetSink`` — parquet appends under ``chunk_id=<id>/bucket=<b>``
+  partitions. chunk_id is the exactly-once unit (lineage.cleanup_orphans
+  deletes orphaned chunk partitions on resume); bucket is the consistent-hash
+  ring analog (route.bucket_expr).
+* ``IcebergSink`` — ``writeTo(table).append()`` against an Iceberg catalog,
+  table partitioned by ``bucket(N, token)``; the Spark-native replacement for
+  the md5-bucket directory layout (same co-location contract, plus hidden
+  partitioning and snapshot isolation). The runtime jar is not present in
+  this sandbox, so construction verifies the catalog exists and raises a
+  clear error otherwise — the code path is real, the environment gates it.
+* ``NoopSink`` — the reference's null sink (destination "null", SURVEY §2.1
+  #22): counts flow through the metrics aggregation, bytes go nowhere.
+
+At 10^12 rows the writer choice decides small-file behavior: ParquetSink
+relies on the upstream salted repartition to bound files per bucket;
+IcebergSink would use its own fanout-write + table maintenance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Sink:
+    """Append one chunk's rows for one logical sink table."""
+
+    def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
+        raise NotImplementedError
+
+
+class NoopSink(Sink):
+    def write(self, df, path, chunk_id, bucket_col):
+        return
+
+
+class ParquetSink(Sink):
+    def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
+        df = df.withColumn("chunk_id", F.lit(chunk_id))
+        parts = ["chunk_id"] + (
+            [bucket_col] if bucket_col and bucket_col in df.columns else []
+        )
+        df.write.mode("append").partitionBy(*parts).parquet(path)
+
+
+class IcebergSink(Sink):
+    """Writes to ``<catalog>.<namespace>.<sink_name>``; creates the table on
+    first append with ``PARTITIONED BY (bucket(n_buckets, token))``.
+
+    Requires an Iceberg catalog on the session (spark.sql.catalog.<name>);
+    raises RuntimeError with remediation steps when absent so a
+    misconfiguration fails loudly instead of silently writing nowhere.
+    """
+
+    def __init__(self, spark, catalog: str = "lm", namespace: str = "lumbermill", n_buckets: int = 16):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.n_buckets = n_buckets
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not impl:
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured "
+                f"(spark.sql.catalog.{catalog} unset). Add the iceberg-spark-runtime "
+                "jar and set spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+                "plus a warehouse, or use sink_format='parquet'."
+            )
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _table(self, sink_name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{sink_name}"
+
+    def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
+        # path doubles as the sink name for the table identifier
+        import os
+
+        name = os.path.basename(path.rstrip("/"))
+        table = self._table(name)
+        df = df.withColumn("chunk_id", F.lit(chunk_id))
+        if not self.spark.catalog.tableExists(table):
+            w = df.writeTo(table)
+            if "token" in df.columns:
+                w = w.partitionedBy(F.expr(f"bucket({self.n_buckets}, token)"))
+            w.create()  # create-with-data: first chunk seeds the table
+        else:
+            df.writeTo(table).append()
+
+
+def make_sink(spark, sink_format: str, n_buckets: int = 16) -> Sink:
+    if sink_format == "noop":
+        return NoopSink()
+    if sink_format == "parquet":
+        return ParquetSink()
+    if sink_format == "iceberg":
+        return IcebergSink(spark, n_buckets=n_buckets)
+    raise ValueError(f"unknown sink_format {sink_format!r}")

@@ -33,16 +33,30 @@ def read_transcript_stream(spark: SparkSession, input_dir: str, max_files_per_tr
 
 
 def _write_sinks_batch(batch_df: DataFrame, batch_id: int, out_dir: str, parser: str) -> None:
+    """One micro-batch: classify → parse → fan-out.
+
+    Idempotent under micro-batch retry: every write is partitioned by
+    batch_id and uses dynamic-partition OVERWRITE, so when Spark re-invokes
+    foreachBatch with the same batch_id after a failure, the retry replaces
+    the partial partition instead of appending duplicates. Combined with the
+    checkpointed file source this gives end-to-end exactly-once."""
     parsed = P.with_parsed(C.classify(batch_df), parser=parser).persist()
+
+    def write(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     try:
         for sink, builder in P.SINK_BUILDERS.items():
-            builder(parsed).write.mode("append").parquet(os.path.join(out_dir, "sinks", sink))
-        (
-            parsed.groupBy("msg_class")
-            .count()
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "metrics", "class_counts_stream"))
+            write(builder(parsed), os.path.join(out_dir, "sinks", sink))
+        write(
+            parsed.groupBy("msg_class").count(),
+            os.path.join(out_dir, "metrics", "class_counts_stream"),
         )
     finally:
         parsed.unpersist()

@@ -33,12 +33,27 @@ def test_run_and_resume(spark, small_input, tmp_path):
     assert res2.chunks == 0 and res2.rows_in == 0
     assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == n1
 
-    # remove one chunk marker → exactly that chunk reprocessed
+    # crash simulation: sink rows written but the chunk marker missing (a
+    # crash between the last sink append and commit_chunk). Resume must
+    # (a) remove the orphaned chunk partitions, (b) reprocess exactly that
+    # chunk, and (c) leave sink counts IDENTICAL to a clean run — this is
+    # the exactly-once guarantee (without orphan cleanup the rerun would
+    # append duplicates and the count would be ~1.5x).
     led = os.path.join(out, "lineage_ledger")
     marker = sorted(f for f in os.listdir(led) if f.endswith(".done"))[0]
     os.unlink(os.path.join(led, marker))
     res3 = pipeline.run(spark, small_input, out, cfg, resume=True)
     assert res3.chunks == 1 and res3.rows_in == 2000
+    assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == n1
+    for sink, expected in res.sink_rows.items():
+        got = spark.read.parquet(os.path.join(out, "sinks", sink)).count()
+        assert got == expected, f"{sink}: {got} != {expected} after crash-resume"
+    # ledger is clean too: every surviving chunk partition has a marker
+    from lumbermill_spark import lineage as lin
+
+    done = lin.done_chunk_ids(out)
+    on_disk = {d[len("chunk_id=") :] for d in os.listdir(led) if d.startswith("chunk_id=")}
+    assert on_disk <= done
 
 
 def test_lineage_ledger_contents(spark, small_input, tmp_path):

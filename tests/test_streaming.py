@@ -26,8 +26,13 @@ def test_stream_equals_batch(spark, stream_input, tmp_path):
 
     batch_parsed = parse.with_parsed(classify.classify(spark.read.parquet(stream_input)))
     for sink, builder in parse.SINK_BUILDERS.items():
-        got = sorted(tuple(r) for r in spark.read.parquet(os.path.join(out, "sinks", sink)).collect())
-        want = sorted(tuple(r) for r in builder(batch_parsed).collect())
+        want_df = builder(batch_parsed)
+        cols = want_df.columns  # streamed sinks add a batch_id partition column
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(out, "sinks", sink)).select(*cols).collect()
+        )
+        want = sorted(tuple(r) for r in want_df.collect())
         assert got == want, f"stream/batch divergence in {sink}"
 
     # restart from checkpoint with no new data → no duplicates
