@@ -109,59 +109,61 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _trigrams(s: str) -> set:
-    return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else {s}
-
-
-_PAIR_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_a", T.LongType()),
-        T.StructField("doc_b", T.LongType()),
-        T.StructField("sim", T.DoubleType()),
-    ]
+# distinct character trigrams; len<3 → the whole text is the single gram
+TRIGRAMS_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+    " i -> substr(text, i, 3)))"
 )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> DataFrame:
-    """Near-dup pairs by exact character-trigram Jaccard ≥ threshold, with
-    (lang, length-band ±1) candidate blocking. Any pair within LEN_BAND chars
-    lands in adjacent bands, so blocking loses nothing vs the oracle's
-    |Δlen| ≤ LEN_BAND predicate."""
-    d = docs.select("doc_id", "text", "lang", F.length("text").alias("n"))
-    left = d.withColumn(
-        "band", F.explode(F.array(*[F.floor(F.col("n") / LEN_BAND) + i for i in (-1, 0, 1)]))
+    """Near-dup pairs by exact character-trigram Jaccard ≥ threshold.
+
+    Candidate generation is MinHash-band blocking (round-1's (lang,
+    length-band) blocking was quadratic *within* a band: every same-language
+    doc of similar length paired with every other — O(m²) in the hot band at
+    100 TB). Bands come from the shared minhash machinery; the (lang,
+    |Δlen| ≤ LEN_BAND) predicates ride along as join conjuncts so non-
+    candidates never materialize. Verification is native set Jaccard over
+    trigram arrays — no Python anywhere. The DuckDB oracle replays the exact
+    same blocking, so LSH recall affects both sides identically."""
+    d = (
+        _widen(docs.select("doc_id", "text", "lang"))
+        .withColumn("n", F.length("text"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .withColumn("grams", F.expr(TRIGRAMS_EXPR))
+        .withColumn("xs", F.expr(_SHINGLE_X))
+        .withColumn("sig", _minhash_from_xs(F.col("xs")))
+        .drop("text", "xs", "shingles")
+        .persist()
     )
-    right = d.withColumn("band", F.floor(F.col("n") / LEN_BAND))
+    d.count()  # materialize before self-join (cache race, see minhash_lsh_pairs)
+    banded = _minhash_bands(d).join(d.select("doc_id", "lang", "n"), "doc_id")
     cand = (
-        left.alias("a")
-        .join(right.alias("b"), on=["lang", "band"])
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) <= LEN_BAND)
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.abs(F.col("a.n") - F.col("b.n")) <= LEN_BAND,
+            ],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.text").alias("text_a"),
-            F.col("b.text").alias("text_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-
-    def score(batches):
-        for pdf in batches:
-            ta, tb = pdf["text_a"], pdf["text_b"]
-            sims = np.empty(len(pdf))
-            for i in range(len(pdf)):
-                A, B = _trigrams(ta.iat[i]), _trigrams(tb.iat[i])
-                sims[i] = len(A & B) / len(A | B) if A | B else 0.0
-            yield pd.DataFrame(
-                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "sim": sims}
-            )
-
-    scored = cand.mapInPandas(score, schema=_PAIR_SCHEMA)
-    return scored.filter(F.col("sim") >= threshold).select(
-        "doc_a", "doc_b", F.round("sim", 6).alias("sim")
+    g = d.select("doc_id", "grams")
+    pairs = cand.join(
+        g.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a"
+    ).join(
+        g.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "g_b"), "doc_b"
+    )
+    return (
+        pairs.withColumn("sim", F.round(jaccard_expr(F.col("g_a"), F.col("g_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
     )
 
 
@@ -484,19 +486,35 @@ def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(near)
 
 
+EMBED_NPROBE = 2  # near-identical vectors that straddle a cell boundary still
+# share a cell when each vector is assigned to its 2 nearest centroids
+
+
 def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
-    from .similarity import cosine_expr
+    """Cosine-near-dup pairs blocked on IVF cells: every vector is assigned
+    to its EMBED_NPROBE nearest deterministic coarse centroids (broadcast),
+    candidates are same-cell pairs (one shuffle on cell id), and the exact
+    cosine runs on candidates only. Replaces round-1's label-blocked
+    self-join, which was an O(n²/L) all-pairs scan in disguise. The DuckDB
+    oracle replays the quantizer, so cell recall affects both sides
+    identically."""
+    from .similarity import IVF_CENTROIDS, _assign_cells, cosine_expr
 
     e = augmented_embeddings(embeddings)
+    centroids = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a = _assign_cells(e, centroids, EMBED_NPROBE, "vec_id")
     pairs = (
-        e.alias("a")
-        .join(e.alias("b"), on="label")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        a.alias("x")
+        .join(a.alias("y"), on="cid")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            cosine_expr(F.col("x.v"), F.col("y.v")).alias("cos"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")

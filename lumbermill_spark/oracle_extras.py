@@ -35,33 +35,12 @@ FROM fp
 """
 
 
-def dedup_ngram_jaccard() -> str:
-    return f"""
-WITH {AUG_DOCS},
-d AS (SELECT doc_id, text, lang, length(text) AS n FROM docs),
-tg AS (
-  SELECT doc_id, lang, n,
-    CASE WHEN n >= 3
-      THEN list_distinct([substring(text, i, 3) FOR i IN range(1, n - 1)])
-      ELSE [text] END AS grams
-  FROM d),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    len(list_intersect(a.grams, b.grams))::DOUBLE
-      / len(list_distinct(list_concat(a.grams, b.grams))) AS sim
-  FROM tg a JOIN tg b
-    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {D.LEN_BAND})
-SELECT doc_a, doc_b, round(sim, 6) AS sim FROM pairs WHERE sim >= {D.NGRAM_THRESHOLD}
-"""
-
-
-def dedup_minhash_lsh() -> str:
-    """Independent DuckDB replay of the md5 double-hash minhash (see
-    extras/dedup.py §3 for the math): identical signatures → identical band
-    keys → identical candidate set → identical verified pairs."""
+def _minhash_cte() -> str:
+    """Shared CTE chain: docs → shingles → shingle hashes → 64-perm minhash
+    signatures → band keys. Replays extras/dedup.py's md5 + universal-hash
+    family verbatim."""
     k, rpb = D.SHINGLE_K, D.MINHASH_PERMS // D.MINHASH_BANDS
     return f"""
-WITH {AUG_DOCS},
 sh AS (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(length(text)-{k - 1}, 1)),
@@ -80,7 +59,44 @@ sg AS (
 bd AS (
   SELECT doc_id, b AS band_idx,
     md5(array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')) AS band_key
-  FROM sg CROSS JOIN (SELECT unnest(generate_series(0,{D.MINHASH_BANDS - 1})) AS b) bands),
+  FROM sg CROSS JOIN (SELECT unnest(generate_series(0,{D.MINHASH_BANDS - 1})) AS b) bands)
+"""
+
+
+def dedup_ngram_jaccard() -> str:
+    return f"""
+WITH {AUG_DOCS},
+d AS (SELECT doc_id, lang, length(text) AS n FROM docs),
+tg AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3
+      THEN list_distinct([substring(text, i, 3) FOR i IN range(1, length(text) - 1)])
+      ELSE [text] END AS grams
+  FROM docs),
+{_minhash_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b USING (band_idx, band_key)
+  JOIN d da ON da.doc_id = a.doc_id
+  JOIN d db ON db.doc_id = b.doc_id
+  WHERE a.doc_id < b.doc_id AND da.lang = db.lang
+    AND abs(da.n - db.n) <= {D.LEN_BAND}),
+pairs AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(x.grams, y.grams))::DOUBLE
+      / len(list_distinct(list_concat(x.grams, y.grams))) AS sim
+  FROM cand JOIN tg x ON x.doc_id = cand.doc_a JOIN tg y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(sim, 6) AS sim FROM pairs WHERE sim >= {D.NGRAM_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh() -> str:
+    """Independent DuckDB replay of the md5 double-hash minhash (see
+    extras/dedup.py §3 for the math): identical signatures → identical band
+    keys → identical candidate set → identical verified pairs."""
+    return f"""
+WITH {AUG_DOCS},
+{_minhash_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bd a JOIN bd b USING (band_idx, band_key)
@@ -144,6 +160,7 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {D.SIMHASH_MAX_HAMMING}
 
 
 def dedup_embed_cosine() -> str:
+    cos_vc = _cos("e.v", "c.cv")
     return f"""
 WITH base AS (
   SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
@@ -158,13 +175,19 @@ e AS (
     list_concat([v[1] + {D.EMBED_PERTURB}], v[2:])
   FROM base WHERE vec_id % {D.EMBED_NEAR_MOD} = 0
 ),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
-      / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, len(a.v) + 1)]))
-         * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)]))) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {D.COSINE_DUP_THRESHOLD}
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SIM.IVF_CENTROIDS}),
+ca AS (  -- IVF cell assignment, nprobe nearest cells per vector
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c) WHERE r <= {D.EMBED_NPROBE}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM ca x JOIN ca y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+p AS (
+  SELECT id_a, id_b, {_cos('a.v', 'b.v')} AS cos
+  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= {D.COSINE_DUP_THRESHOLD}
 """
 
 
