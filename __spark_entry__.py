@@ -133,7 +133,31 @@ def _q_frames_replay(spark, sf_dir):
     from lumbermill_spark import datagen, frames
 
     fp = datagen.ensure_frames(datagen.sf_from_dir(sf_dir))
-    return frames.replay_class_counts(spark.read.parquet(fp))
+    return frames.replay_class_counts(frames.split_frames(spark.read.parquet(fp)))
+
+
+def _q_stale_tokens(spark, sf_dir):
+    from lumbermill_spark import aggregate, parse
+
+    p = _parsed(spark, sf_dir)
+    return aggregate.stale_tokens(parse.sink_dyno_load(p), parse.sink_dyno_mem(p))
+
+
+def _q_batch_sizes(spark, sf_dir):
+    from lumbermill_spark import aggregate, datagen, frames
+
+    fp = datagen.ensure_frames(datagen.sf_from_dir(sf_dir))
+    return aggregate.batch_size_rollup(frames.split_frames(spark.read.parquet(fp)))
+
+
+def _q_frames_scan(spark, sf_dir):
+    """TRUE lpx byte scan over concatenated drain bodies (lpx/reader.go
+    octet counting); verified against the SAME DuckDB oracle as the
+    one-frame-per-row replay — the two ingestion paths must agree."""
+    from lumbermill_spark import datagen, frames
+
+    rp = datagen.ensure_raw_bodies(datagen.sf_from_dir(sf_dir))
+    return frames.replay_class_counts(frames.scan_frames(spark.read.parquet(rp)))
 
 
 # ---------------------------------------------------------------------------
@@ -256,8 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_enrich_counts": _q_enrich_counts,
         "lm_route_buckets": _q_route_buckets,
         "lm_sink_freshness": _q_sink_freshness,
+        "lm_stale_tokens": _q_stale_tokens,
+        "lm_batch_sizes": _q_batch_sizes,
         "lm_turn_ordering": _q_turn_ordering,
         "lm_frames_replay": _q_frames_replay,
+        "lm_frames_scan": _q_frames_scan,
         "lm_lineage_counts": _q_lineage_counts,
     }
     for sink in S.ALL_SINKS:
@@ -299,7 +326,12 @@ def oracle_sql() -> dict[str, str]:
         "lm_enrich_counts": O.enrich_counts(tp, paths["tools"], paths["roles"]),
         "lm_route_buckets": O.route_buckets(tp, 16),
         "lm_sink_freshness": O.sink_freshness(tp),
+        "lm_stale_tokens": O.stale_tokens(tp),
+        "lm_batch_sizes": O.batch_size_rollup(fp),
         "lm_turn_ordering": O.turn_ordering(tp),
         "lm_frames_replay": O.frames_replay_counts(fp),
+        # the byte scanner must reproduce the regex-split replay exactly —
+        # same oracle, independent ingestion path
+        "lm_frames_scan": O.frames_replay_counts(fp),
         "lm_lineage_counts": O.lineage_counts(tp),
     }

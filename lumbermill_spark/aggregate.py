@@ -113,3 +113,51 @@ def router_rollup_windowed(router_sink: DataFrame, window: str = "1 minute") -> 
 def sink_freshness(sink_df: DataFrame) -> DataFrame:
     """http.go:129-150 analog: latest point per token (staleness check input)."""
     return sink_df.groupBy("token").agg(F.max("time").alias("latest_time"))
+
+
+STALE_TIMEOUT_MICROS = 24 * 60 * 1_000_000  # influxDbStaleTimeout, http.go:14
+
+
+def stale_tokens(dyno_load: DataFrame, dyno_mem: DataFrame, as_of_micros: int | None = None) -> DataFrame:
+    """The health check's staleness predicate (http.go:14 + checkRecentToken,
+    http.go:129-155): per token per dyno series (load, mem), the latest point
+    time; stale when as_of − latest > 24 minutes. as_of defaults to the
+    dataset max time — the deterministic batch replay of ``time.Now()``.
+
+    Scale shape: one union + one groupBy; the scalar as_of is a broadcast
+    single-row cross join, never a driver round-trip in the plan."""
+    u = (
+        dyno_load.select("token", "time").withColumn("series", F.lit("dyno_load"))
+        .unionByName(dyno_mem.select("token", "time").withColumn("series", F.lit("dyno_mem")))
+    )
+    latest = u.groupBy("token", "series").agg(F.max("time").alias("latest_time"))
+    if as_of_micros is not None:
+        as_of = F.lit(as_of_micros)
+        latest = latest.withColumn("as_of", as_of)
+    else:
+        latest = latest.crossJoin(
+            F.broadcast(u.agg(F.max("time").alias("as_of")))
+        )
+    return latest.select(
+        "token",
+        "series",
+        "latest_time",
+        ((F.col("as_of") - F.col("latest_time")) > STALE_TIMEOUT_MICROS).alias("stale"),
+    )
+
+
+def batch_size_rollup(split_frames: DataFrame) -> DataFrame:
+    """drain.go:46 ``lumbermill.batches.sizes`` — the frames-per-batch
+    distribution. Exact percentiles over ALL batches instead of the
+    reference's 100-slot uniform reservoir (documented improvement, same
+    policy as router_rollup)."""
+    sizes = split_frames.groupBy("batch_id").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_batches"),
+        F.round(F.avg("sz"), 6).alias("mean_sz"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        F.round(F.expr("percentile(sz, 0.5)"), 6).alias("p50_sz"),
+        F.round(F.expr("percentile(sz, 0.95)"), 6).alias("p95_sz"),
+        F.round(F.expr("percentile(sz, 0.99)"), 6).alias("p99_sz"),
+    )

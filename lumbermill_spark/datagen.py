@@ -432,8 +432,38 @@ def transcripts_path(sf: float) -> str:
     return os.path.join(data_dir(), "transcripts_sf%s.parquet" % _sf_tag(sf))
 
 
+def generate_raw_bodies(sf: float, seed: int = SEED) -> "pa.Table":
+    """Concatenated length-prefixed drain bodies — one row per HTTP batch —
+    built from the SAME frame rows as generate_frames (deterministic reuse):
+    each frame contributes ``<len> <syslog>\\n`` where <len> already counts
+    the trailing newline (lpx octet-counting). lm_frames_scan byte-scans
+    these and must match the lm_frames_replay oracle over the
+    one-frame-per-row fixture exactly."""
+    t = generate_frames(sf, seed)
+    bids = t["batch_id"].to_pylist()
+    toks = t["drain_token"].to_pylist()
+    frames_ = t["frame"].to_pylist()
+    bodies: dict[str, list[str]] = {}
+    tok_of: dict[str, str] = {}
+    for b, tok, fr in zip(bids, toks, frames_):
+        bodies.setdefault(b, []).append(fr + "\n")
+        tok_of[b] = tok
+    keys = sorted(bodies)
+    return pa.table(
+        {
+            "batch_id": pa.array(keys, type=pa.string()),
+            "drain_token": pa.array([tok_of[k] for k in keys], type=pa.string()),
+            "body": pa.array(["".join(bodies[k]) for k in keys], type=pa.string()),
+        }
+    )
+
+
 def frames_path(sf: float) -> str:
     return os.path.join(data_dir(), "frames_sf%s.parquet" % _sf_tag(sf))
+
+
+def raw_bodies_path(sf: float) -> str:
+    return os.path.join(data_dir(), "raw_bodies_sf%s.parquet" % _sf_tag(sf))
 
 
 def dims_path(name: str) -> str:
@@ -454,6 +484,13 @@ def ensure_frames(sf: float) -> str:
     return p
 
 
+def ensure_raw_bodies(sf: float) -> str:
+    p = raw_bodies_path(sf)
+    if not os.path.exists(p):
+        _write_atomic(generate_raw_bodies(sf), p)
+    return p
+
+
 def ensure_dims() -> dict[str, str]:
     out = {}
     for name, tbl in (("tools", dim_tools_table()), ("roles", dim_roles_table())):
@@ -470,4 +507,5 @@ def ensure_for_sf_dir(sf_dir: str) -> dict[str, str]:
     out = ensure_dims()
     out["transcripts"] = ensure_transcripts(sf)
     out["frames"] = ensure_frames(sf)
+    out["raw_bodies"] = ensure_raw_bodies(sf)
     return out

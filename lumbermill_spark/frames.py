@@ -1,8 +1,17 @@
 """Raw logplex-frame replay: the lpx framing layer as DataFrame ops.
 
-The reference iterates length-prefixed syslog frames, splitting six
-space-delimited header fields + body (lpx/reader.go:43-116), with two
-batch-stateful behaviors the columnar rebuild must reproduce:
+Two entry points into the same downstream:
+
+  * ``scan_frames`` — TRUE length-prefixed byte scanning of raw drain bodies
+    (lpx/reader.go:43-116 semantics: ``<len> <privalversion> <time>
+    <hostname> <name> <procid> <msgid> <payload>`` where <len> counts every
+    byte after ``"<len> "`` including the payload's trailing newline, and
+    payloads may contain embedded newlines/spaces). This is per-batch
+    imperative logic — the one place mapInPandas is genuinely required.
+  * ``split_frames`` — regex header split for inputs already delivered
+    one-frame-per-row (the fixture form).
+
+Batch-stateful behaviors the columnar rebuild reproduces either way:
 
   * token override: a frame whose Name starts with ``t.`` overrides the drain
     token for itself and ALL SUBSEQUENT frames of the batch (drain.go:103-105)
@@ -10,19 +19,105 @@ batch-stateful behaviors the columnar rebuild must reproduce:
   * 2-format timestamp parse with drop+count on double failure
     (drain.go:118-127) → coalesce(try_to_timestamp × 2), null → counted.
 
-Used by the frames-fixture tests and the ``lm_frames_replay`` query; the main
-pipeline takes the pre-split transcripts table (input_hint) and skips framing.
+Used by the frames-fixture tests and the ``lm_frames_replay`` /
+``lm_frames_scan`` queries; the main pipeline takes the pre-split transcripts
+table (input_hint) and skips framing.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 HEADER_RX = r"^(\d+) (<\d+>\d) (\S+) (\S+) (\S+) (\S+) (\S+) (.*)$"
 
 TIME_FMT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # 2006-01-02T15:04:05.000000+00:00
 TIME_FMT_S = "yyyy-MM-dd'T'HH:mm:ssXXX"  # 2006-01-02T15:04:05+00:00
+
+
+def scan_stream(buf: bytes) -> tuple[list[tuple], bool]:
+    """Byte-accurate lpx scan of one drain body. Returns (frames, truncated).
+
+    Ports lpx/reader.go:43-116 semantics exactly: the length field is parsed,
+    six space-delimited header fields are consumed (each decrementing the
+    remaining byte budget by the bytes read INCLUDING the delimiter, trailing
+    spaces trimmed from the value), and the payload is the remaining budget
+    read as raw bytes — embedded newlines and spaces pass through. A body
+    that ends mid-frame reports truncated=True (io.ErrUnexpectedEOF) and the
+    complete prefix is kept."""
+    out: list[tuple] = []
+    i, n = 0, len(buf)
+    try:
+        while i < n:
+            j = buf.index(b" ", i)
+            rem = int(buf[i:j])  # ValueError on garbage → truncated
+            i = j + 1
+            fields = []
+            for _ in range(6):
+                j = buf.index(b" ", i)
+                rem -= j + 1 - i
+                fields.append(buf[i:j].rstrip(b" ").decode("utf-8", "replace"))
+                i = j + 1
+            if rem < 0 or i + rem > n:
+                return out, True
+            payload = buf[i : i + rem]
+            i += rem
+            # transcript text is newline-stripped: the declared length counts
+            # the frame-terminating \n as the payload's last byte
+            if payload.endswith(b"\n"):
+                payload = payload[:-1]
+            out.append((*fields, payload.decode("utf-8", "replace")))
+    except ValueError:  # no delimiter / non-integer length
+        return out, True
+    return out, False
+
+
+_SCANNED_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("line_no", T.IntegerType()),
+        T.StructField("drain_token", T.StringType()),
+        T.StructField("time_str", T.StringType()),
+        T.StructField("hostname", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("procid", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+)
+
+
+def scan_frames(raw: DataFrame) -> DataFrame:
+    """raw (batch_id, drain_token, body: binary|string) → one row per frame,
+    same columns as split_frames plus `truncated` (frame-error flag for the
+    whole batch, lpx Err()). Each drain body is independent, so the scan
+    parallelizes per input row — no cross-partition state."""
+
+    def scan(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in _SCANNED_SCHEMA.fields}
+            for bid, tok, body in zip(pdf["batch_id"], pdf["drain_token"], pdf["body"]):
+                if isinstance(body, str):
+                    body = body.encode("utf-8")
+                frames_, trunc = scan_stream(bytes(body))
+                for ln, f in enumerate(frames_):
+                    _priv, time_str, hostname, name, procid, _msgid, payload = f
+                    rows["batch_id"].append(bid)
+                    rows["line_no"].append(ln)
+                    rows["drain_token"].append(tok)
+                    rows["time_str"].append(time_str)
+                    rows["hostname"].append(hostname)
+                    rows["name"].append(name)
+                    rows["procid"].append(procid)
+                    rows["body"].append(payload)
+                    rows["truncated"].append(trunc)
+            yield pd.DataFrame(rows)
+
+    return raw.select("batch_id", "drain_token", "body").mapInPandas(
+        scan, schema=_SCANNED_SCHEMA
+    )
 
 
 def split_frames(frames: DataFrame) -> DataFrame:
@@ -61,13 +156,13 @@ def parse_times(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", ts)
 
 
-def frames_to_transcript_shape(frames: DataFrame) -> DataFrame:
-    """frames → the transcripts column contract, so the whole downstream
-    pipeline (classify/parse/route/aggregate) is reused verbatim. Rows with
-    unparseable times keep ts NULL (classified time_parse_error upstream of
-    the standard tree, matching drain.go precedence: token check and
-    unknown-user check come first)."""
-    out = parse_times(resolve_tokens(split_frames(frames)))
+def frames_to_transcript_shape(split: DataFrame) -> DataFrame:
+    """split/scanned frames → the transcripts column contract, so the whole
+    downstream pipeline (classify/parse/route/aggregate) is reused verbatim.
+    Rows with unparseable times keep ts NULL (classified time_parse_error
+    upstream of the standard tree, matching drain.go precedence: token check
+    and unknown-user check come first)."""
+    out = parse_times(resolve_tokens(split))
     return out.select(
         F.col("token").alias("conv_id"),
         F.col("line_no").alias("turn_idx"),
@@ -78,13 +173,14 @@ def frames_to_transcript_shape(frames: DataFrame) -> DataFrame:
     )
 
 
-def replay_class_counts(frames: DataFrame) -> DataFrame:
-    """Classification counts over a frame replay, with the time_parse_error
-    class injected at its exact precedence slot (drain.go:108-127: after the
-    token/name checks, before procid dispatch)."""
+def replay_class_counts(split: DataFrame) -> DataFrame:
+    """Classification counts over a frame replay (input: split or scanned
+    frames), with the time_parse_error class injected at its exact precedence
+    slot (drain.go:108-127: after the token/name checks, before procid
+    dispatch)."""
     from . import classify as C
 
-    df = frames_to_transcript_shape(frames)
+    df = frames_to_transcript_shape(split)
     base = C.msg_class_expr(F.col("role"), F.col("tool"), F.col("text"), F.col("token"))
     token = C.effective_token(F.col("role"), F.col("conv_id"))
     df = df.withColumn("token", token)
@@ -96,7 +192,7 @@ def replay_class_counts(frames: DataFrame) -> DataFrame:
     )
     by_class = df.withColumn("counter", cls).groupBy("counter").agg(F.count("*").alias("n"))
     # batch + total-line counters (drain.go:89 batchCounter, drain.go:276 linesCounter)
-    totals = frames.agg(
+    totals = split.agg(
         F.countDistinct("batch_id").alias("batches"), F.count("*").alias("lines")
     ).select(
         F.explode(

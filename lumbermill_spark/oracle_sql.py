@@ -200,6 +200,41 @@ GROUP BY token
 """
 
 
+def stale_tokens(path: str) -> str:
+    """http.go:14,129-155 staleness predicate over the two dyno series,
+    as_of = dataset max time (deterministic time.Now() replay)."""
+    src = _str_field(S.PAT_SOURCE)
+    return classified_cte(path) + f"""
+, u AS (
+  SELECT token, time, 'dyno_load' AS series
+  FROM p WHERE msg_class = 'dyno_load' AND NOT parse_error AND {src} <> ''
+  UNION ALL
+  SELECT token, time, 'dyno_mem' AS series
+  FROM p WHERE msg_class = 'dyno_mem' AND NOT parse_error AND {src} <> ''
+)
+SELECT token, series, max(time) AS latest_time,
+  ((SELECT max(time) FROM u) - max(time)) > {24 * 60 * 1_000_000} AS stale
+FROM u GROUP BY token, series
+"""
+
+
+def batch_size_rollup(frames_path: str) -> str:
+    """drain.go:46 batches.sizes distribution, exact percentiles."""
+    return f"""
+WITH sizes AS (
+  SELECT batch_id, count(*) AS sz FROM read_parquet('{frames_path}') GROUP BY batch_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batches,
+  round(avg(sz), 6) AS mean_sz,
+  CAST(min(sz) AS BIGINT) AS min_sz,
+  CAST(max(sz) AS BIGINT) AS max_sz,
+  round(quantile_cont(sz, 0.5), 6) AS p50_sz,
+  round(quantile_cont(sz, 0.95), 6) AS p95_sz,
+  round(quantile_cont(sz, 0.99), 6) AS p99_sz
+FROM sizes
+"""
+
+
 def sink_freshness(path: str) -> str:
     return classified_cte(path) + """
 SELECT token, max(time) AS latest_time

@@ -57,7 +57,12 @@ def test_replay_counts_time_parse_error_precedence(spark):
         ("b1", 1, "t.h", _frame("not-a-time", "heroku", "router", BODY)),
         ("b1", 2, "t.h", _frame("2025-01-01T00:00:02+00:00", "heroku", "router", BODY)),
     ]
-    counts = {r["counter"]: r["n"] for r in frames.replay_class_counts(_frames_df(spark, rows)).collect()}
+    counts = {
+        r["counter"]: r["n"]
+        for r in frames.replay_class_counts(
+            frames.split_frames(_frames_df(spark, rows))
+        ).collect()
+    }
     assert counts == {
         "unknown_user": 1,
         "time_parse_error": 1,
@@ -65,3 +70,60 @@ def test_replay_counts_time_parse_error_precedence(spark):
         "batches": 1,
         "lines": 3,
     }
+
+
+# ---------------------------------------------------------------------------
+# true length-prefixed byte scanning (lpx/reader.go:43-116)
+# ---------------------------------------------------------------------------
+
+
+def _stream_frame(time, name, procid, body):
+    """Real lpx wire form: <len> counts header-fields+payload incl. the
+    frame-terminating newline."""
+    syslog = f"<158>1 {time} host {name} {procid} - {body}"
+    return f"{len(syslog) + 1} {syslog}\n"
+
+
+def test_scan_stream_golden_multiline_payload():
+    # payloads with embedded newlines and spaces — regex line-splitting
+    # CANNOT frame these; only octet counting can (lpx/reader.go:70-80)
+    multi = "line one\nline two with  spaces\nline three"
+    stream = (
+        _stream_frame("2025-01-01T00:00:00+00:00", "heroku", "router", BODY)
+        + _stream_frame("2025-01-01T00:00:01+00:00", "t.abc", "web.1", multi)
+        + _stream_frame("2025-01-01T00:00:02+00:00", "heroku", "router", BODY)
+    )
+    out, truncated = frames.scan_stream(stream.encode())
+    assert not truncated and len(out) == 3
+    assert [f[3] for f in out] == ["heroku", "t.abc", "heroku"]  # name field
+    assert out[1][6] == multi  # payload byte-exact, newlines intact
+    assert out[0][6] == BODY and out[0][4] == "router"
+
+
+def test_scan_stream_truncated_body():
+    good = _stream_frame("2025-01-01T00:00:00+00:00", "heroku", "router", BODY)
+    out, truncated = frames.scan_stream((good + "999 <158>1 partial").encode())
+    assert truncated and len(out) == 1  # complete prefix kept
+
+
+def test_scan_equals_split_on_fixture(spark):
+    """The byte scanner over concatenated bodies must reproduce the regex
+    split over one-frame-per-row exactly (same fixture rows)."""
+    from lumbermill_spark import datagen
+
+    split = frames.split_frames(
+        spark.read.parquet(datagen.ensure_frames(0.001))
+    ).collect()
+    scanned = (
+        frames.scan_frames(spark.read.parquet(datagen.ensure_raw_bodies(0.001)))
+        .drop("truncated", "hostname")
+        .collect()
+    )
+    tup = lambda r: (  # noqa: E731
+        r["batch_id"], r["line_no"], r["drain_token"],
+        r["time_str"], r["name"], r["procid"], r["body"],
+    )
+    s1 = sorted(tup(r) for r in split)
+    s2 = sorted(tup(r) for r in scanned)
+    assert s1 == s2
+    assert len(s1) > 50
