@@ -113,7 +113,11 @@ def commit_chunk(
     (
         lineage_df.withColumn("run_id", F.lit(run_id))
         .withColumn("chunk_id", F.lit(chunk_id))
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): the frame comes from a driver-local
+        # createDataFrame whose 32 partitions each round-trip a Python worker;
+        # coalesce chains them into ONE serial task (~4.4 s for 9 rows),
+        # repartition evaluates them in parallel first (~0.5 s)
+        .repartition(1)
         .write.mode("append")
         .partitionBy("chunk_id")
         .parquet(led)

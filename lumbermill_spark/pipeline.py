@@ -55,6 +55,19 @@ class PipelineConfig:
     # hash exchange be the only routing — used to isolate the shuffle's cost
     # in scaling measurements
     route_shuffle: bool = True
+    # 'cache': ONE parse pass persisted, sinks are filters over it (round-1
+    # design). 'rescan': no cache — each sink filters its class NATIVELY
+    # (pushed to the scan) and parses only those rows; total parse work is
+    # ~1.85x one pass (summary + per-class) but there is no 2M-row cache to
+    # build, serialize, and re-read. Which wins depends on text width vs
+    # class selectivity — both are measured in bench.py.
+    fanout_mode: str = "cache"  # 'cache' | 'rescan'
+    # shuffle each sink frame onto its bucket key right before the write:
+    # one file per (chunk, bucket) instead of one per (task, bucket) —
+    # measured 10,247 → ~100 files and 54 s → ~35 s at sf0.1/local[32].
+    # At 10^12 rows this is what keeps the table listable; the extra
+    # exchange is tiny vs the parse (sink rows are already filtered).
+    sink_repartition: bool = True
     storage_level: StorageLevel = field(default_factory=lambda: StorageLevel.MEMORY_AND_DISK)
 
 
@@ -65,6 +78,9 @@ class PipelineResult:
     class_counts: dict[str, int]
     seconds: float
     chunks: int
+    # wall-clock per phase, summed across chunks: summary (parse+counters),
+    # sinks (fan-out writes), metrics, lineage
+    timings: dict[str, float] = field(default_factory=dict)
 
 
 def _sink_dir(out_dir: str, sink: str) -> str:
@@ -130,11 +146,22 @@ def run(
     totals: dict[str, int] = {k: 0 for k in S.ALL_SINKS}
     cls_totals: dict[str, int] = {}
     rows_in = 0
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> float:
+        now = time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - t_start), 3)
+        return now
 
     for ci, chunk in enumerate(chunks):
         chunk_id = "%s_%04d" % (run_id, ci)
         df = spark.read.parquet(*chunk).withColumn("source_file", F.col("_metadata.file_path"))
-        parsed = build_parsed(df, cfg, spark, dims)
+        from . import classify as C
+
+        classified = C.classify(df)
+        if cfg.enrich:
+            classified = enrich_mod.enrich(classified, dims)
+        parsed = P.with_parsed(classified, parser=cfg.parser)
         parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
         # prune to exactly what the sinks/metrics/lineage consume before the
         # persist — at 10^12 rows the cache/shuffle footprint is the limiting
@@ -151,11 +178,13 @@ def run(
             parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
         # the cache exists for the fan-out (6 downstream consumers in parquet
         # mode); in noop mode the single fused aggregation is the only
-        # consumer, so building the columnar cache would be pure overhead
-        materialize = cfg.sink_format != "noop"
+        # consumer, and in rescan mode each sink re-parses its own class —
+        # either way building the columnar cache would be pure overhead
+        materialize = cfg.sink_format != "noop" and cfg.fanout_mode == "cache"
         if materialize:
             parsed = parsed.persist(cfg.storage_level)
         try:
+            tp = time.time()
             # ONE grouped aggregation materializes the cache and yields the
             # per-class counters, all five sink row counts, AND the lineage
             # frame in a single job (driver-side derivation from a tiny
@@ -196,36 +225,68 @@ def run(
                         continue  # empty-source rows silently dropped (drain.go:201,232)
                     totals[sink] += n
 
+            tp = _phase("summary", tp)
             # fan-out: 5 filtered projections over the cached parse pass
+            # (cache mode), or 5 class-filtered re-parses where the native
+            # msg_class predicate is pushed below the parse UDF (rescan mode)
+            cls_of_sink = {v: k for k, v in sink_of.items()}
             for sink_name, builder in P.SINK_BUILDERS.items():
-                sdf = builder(parsed).withColumn(
+                if cfg.fanout_mode == "rescan" and not materialize:
+                    src = P.with_parsed(
+                        classified.filter(F.col("msg_class") == cls_of_sink[sink_name]),
+                        parser=cfg.parser,
+                    )
+                else:
+                    src = parsed
+                sdf = builder(src).withColumn(
                     "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
                 )
+                if cfg.sink_repartition:
+                    sdf = sdf.repartition(cfg.n_buckets, "bucket")
                 sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
 
+            tp = _phase("sink_writes", tp)
             for k, v in chunk_counts.items():
                 cls_totals[k] = cls_totals.get(k, 0) + v
             rows_in += chunk_counts.get("lines", 0)
             if cfg.write_metrics and cfg.sink_format != "noop":
+                # Metrics derive from what is ALREADY materialized — the way
+                # the reference's health checks and continuous queries read
+                # the written InfluxDB series, never the ingest stream:
+                #   * class_counts comes from the collected summary (a
+                #     driver-side dict — zero extra cluster jobs);
+                #   * error codes + rollup re-read the freshly written narrow
+                #     sink chunk (columnar, pre-filtered, ~KBs) instead of
+                #     rescanning the wide parse cache 3 more times.
+                cdf = spark.createDataFrame(
+                    sorted(chunk_counts.items()), "counter string, n long"
+                )
                 sink_writer.write(
-                    agg.class_counts(parsed, parsed).coalesce(1),
+                    cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
                     os.path.join(out_dir, "metrics", "class_counts"),
                     chunk_id,
                     None,
                 )
+                er_chunk = spark.read.parquet(
+                    _sink_dir(out_dir, S.SINK_EVENTS_ROUTER) + f"/chunk_id={chunk_id}"
+                )
                 sink_writer.write(
-                    agg.router_error_code_counts(parsed).coalesce(1),
+                    er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
                     os.path.join(out_dir, "metrics", "router_error_codes"),
                     chunk_id,
                     None,
                 )
+                router_chunk = spark.read.parquet(
+                    _sink_dir(out_dir, S.SINK_ROUTER) + f"/chunk_id={chunk_id}"
+                )
                 sink_writer.write(
-                    agg.router_rollup(P.sink_router(parsed)).coalesce(4),
+                    agg.router_rollup(router_chunk).coalesce(4),
                     os.path.join(out_dir, "metrics", "router_rollup"),
                     chunk_id,
                     None,
                 )
 
+            tp = _phase("metrics", tp)
             # lineage ledger commit — AFTER sink writes succeeded (from the
             # already-collected summary; no extra cluster job)
             if cfg.sink_format != "noop":
@@ -234,6 +295,7 @@ def run(
                     "source_file string, msg_class string, rows long",
                 )
                 lin.commit_chunk(spark, out_dir, run_id, chunk_id, ldf)
+                tp = _phase("lineage", tp)
         finally:
             if materialize:
                 parsed.unpersist()
@@ -244,4 +306,5 @@ def run(
         class_counts=cls_totals,
         seconds=time.time() - t0,
         chunks=len(chunks),
+        timings=phases,
     )
