@@ -54,17 +54,21 @@ def main() -> None:
     timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"), runs=2)
     timed("pipeline_noop_native", lambda: run_pipeline("native"), runs=2)
 
+    phase_timings: dict[str, float] = {}
+
     def run_full_sink():
         import shutil
         import tempfile
 
         out = tempfile.mkdtemp(prefix="lm_bench_full_")
         try:
-            pipeline.run(spark, tpath, out, pipeline.PipelineConfig(parser="pandas"))
+            res = pipeline.run(spark, tpath, out, pipeline.PipelineConfig(parser="pandas"))
+            for k, v in res.timings.items():
+                phase_timings[k] = min(v, phase_timings.get(k, v))
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    timed("pipeline_parquet_sink", run_full_sink)
+    timed("pipeline_parquet_sink", run_full_sink, runs=2)
 
     df = spark.read.parquet(tpath)
 
@@ -80,12 +84,29 @@ def main() -> None:
 
     timed("router_rollup", rollup)
 
+    def noopw(df):
+        df.write.format("noop").mode("overwrite").save()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    timed("dedup_exact", lambda: dedup.exact_dedup(dedup.augmented_docs(docs)).write.format("noop").mode("overwrite").save())
-    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(dedup.augmented_docs(docs)).write.format("noop").mode("overwrite").save())
-    timed("sim_topk_bruteforce", lambda: similarity.topk_bruteforce(embeds).write.format("noop").mode("overwrite").save())
-    timed("text_quality", lambda: textstats.with_quality(docs).write.format("noop").mode("overwrite").save())
+    timed("dedup_exact", lambda: noopw(dedup.exact_dedup(dedup.augmented_docs(docs))))
+    timed("dedup_minhash_lsh", lambda: (noopw(dedup.minhash_lsh_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
+    timed("dedup_simhash", lambda: (noopw(dedup.simhash_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
+    timed("dedup_ngram_jaccard", lambda: (noopw(dedup.ngram_jaccard_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
+    timed("sim_topk_bruteforce", lambda: noopw(similarity.topk_bruteforce(embeds)))
+    timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
+
+    from lumbermill_spark import frames as frames_mod
+
+    raw_p = datagen.ensure_raw_bodies(sf)
+    timed(
+        "frames_scan",
+        lambda: noopw(
+            frames_mod.replay_class_counts(
+                frames_mod.scan_frames(spark.read.parquet(raw_p))
+            )
+        ),
+    )
 
     total = timings["pipeline_noop_pandas"]
     out = {
@@ -93,6 +114,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sink_phases": phase_timings,
         "sf": sf,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / total, 1) if total else None,
