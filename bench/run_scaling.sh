@@ -34,7 +34,7 @@ run_one() {
     bench/scaling_job.py "$SF" "$RUNS" "$PARSERS" 2>/dev/null | tail -1
 }
 
-echo "== local[8] (N) =="
-run_one 8
-echo "== local[32] (4N) =="
-run_one 32
+for cores in ${LUMBERMILL_CORES:-2 8 32}; do
+  echo "== local[${cores}] =="
+  run_one "$cores"
+done

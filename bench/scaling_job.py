@@ -45,13 +45,14 @@ def main() -> None:
         return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
 
     parsers = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["pandas", "native"])
+    warmups = int(os.environ.get("LUMBERMILL_WARMUPS", "2"))
     out = {"cores": cores, "turns": n_turns}
     for parser in parsers:
-        # two warmups: JIT + codegen cache + python workers + OS page cache —
-        # measured: the first post-warmup run still carries ~1.5x residue
-        # with only one
-        one_run(parser)
-        one_run(parser)
+        # two warmups by default: JIT + codegen cache + python workers + OS
+        # page cache — measured: the first post-warmup run still carries
+        # ~1.5x residue with only one
+        for _ in range(warmups):
+            one_run(parser)
         secs = [one_run(parser) for _ in range(runs)]
         med = median(secs)
         out[parser] = {

@@ -87,6 +87,56 @@ def start_pipeline_stream(
     return writer.start()
 
 
+def conv_running_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 2,
+):
+    """Custom stateful operator via applyInPandasWithState: per-conversation
+    running stats (turn count, max turn_idx, latest event time) maintained in
+    keyed state across micro-batches — the Spark-native analog of the
+    reference's long-lived per-token mutable state (drain.go's recentTokens
+    sampler + per-token counters held in process memory for the daemon's
+    lifetime). Emits one updated row per touched conversation per batch
+    (output mode 'update').
+
+    Scale shape: state is partitioned by conv_id (the same key the batch
+    pipeline buckets on), so each executor owns a shard of conversations and
+    no state ever crosses the wire after the initial shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    out_type = "conv_id string, n_turns long, max_turn_idx int, last_ts timestamp"
+    state_type = "n long, max_idx int, last_ts timestamp"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, max_idx, last_ts = state.get
+        else:
+            n, max_idx, last_ts = 0, -1, None
+        for pdf in pdfs:
+            n += len(pdf)
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+            batch_max = pdf["ts"].max()
+            if last_ts is None or batch_max > last_ts:
+                last_ts = batch_max
+        state.update((n, max_idx, last_ts))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "max_turn_idx": [max_idx],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_rollup_stream(
     spark: SparkSession,
     input_dir: str,

@@ -40,3 +40,51 @@ def test_stream_equals_batch(spark, stream_input, tmp_path):
     q2 = streaming.start_pipeline_stream(spark, stream_input, out, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == n_before
+
+
+def test_conv_running_stats_stateful(spark, stream_input, tmp_path):
+    """applyInPandasWithState keyed state must accumulate ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces 3 batches over the 3-file input) and the
+    final state must equal the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    q = (
+        streaming.conv_running_stats_stream(spark, stream_input, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    updates = spark.sql("SELECT * FROM conv_stats")
+    # multiple batches actually happened → some conv got >1 update row
+    assert updates.count() > updates.select("conv_id").distinct().count()
+    # last update per conv (largest n_turns) == batch aggregation
+    final = {
+        r["conv_id"]: (r["n_turns"], r["max_turn_idx"], r["last_ts"])
+        for r in updates.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "conv_id"
+                ).orderBy(F.col("n_turns").desc())
+            ),
+        )
+        .filter("rk = 1")
+        .collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["mi"], r["lt"])
+        for r in spark.read.parquet(stream_input)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("turn_idx").alias("mi"),
+            F.max("ts").alias("lt"),
+        )
+        .collect()
+    }
+    assert final == want
