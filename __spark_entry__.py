@@ -136,6 +136,24 @@ def _q_frames_replay(spark, sf_dir):
     return frames.replay_class_counts(frames.split_frames(spark.read.parquet(fp)))
 
 
+def _q_sessions(spark, sf_dir):
+    from lumbermill_spark import sessions
+
+    return sessions.sessionize(_transcripts(spark, sf_dir))
+
+
+def _q_top_tokens(spark, sf_dir):
+    from lumbermill_spark import aggregate, parse
+
+    return aggregate.top_tokens(parse.sink_router(_parsed(spark, sf_dir)))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from lumbermill_spark.extras import dedup
+
+    return dedup.dedup_clusters(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
 def _q_stale_tokens(spark, sf_dir):
     from lumbermill_spark import aggregate, parse
 
@@ -266,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_clusters": _q_dedup_clusters,
         "sim_topk_bruteforce": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -282,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_sink_freshness": _q_sink_freshness,
         "lm_stale_tokens": _q_stale_tokens,
         "lm_batch_sizes": _q_batch_sizes,
+        "lm_sessions": _q_sessions,
+        "lm_top_tokens": _q_top_tokens,
         "lm_turn_ordering": _q_turn_ordering,
         "lm_frames_replay": _q_frames_replay,
         "lm_frames_scan": _q_frames_scan,
@@ -307,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": OX.dedup_minhash_lsh(),
         "dedup_simhash": OX.dedup_simhash(),
         "dedup_embed_cosine": OX.dedup_embed_cosine(),
+        "dedup_clusters": OX.dedup_clusters(),
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
         "sim_lsh_topk": OX.sim_lsh_topk(),
         "sim_ivf_topk": OX.sim_ivf_topk(),
@@ -328,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_sink_freshness": O.sink_freshness(tp),
         "lm_stale_tokens": O.stale_tokens(tp),
         "lm_batch_sizes": O.batch_size_rollup(fp),
+        "lm_sessions": O.sessions(tp, 300),
+        "lm_top_tokens": O.top_tokens(tp, 10),
         "lm_turn_ordering": O.turn_ordering(tp),
         "lm_frames_replay": O.frames_replay_counts(fp),
         # the byte scanner must reproduce the regex-split replay exactly —

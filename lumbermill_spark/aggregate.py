@@ -146,6 +146,22 @@ def stale_tokens(dyno_load: DataFrame, dyno_mem: DataFrame, as_of_micros: int | 
     )
 
 
+def top_tokens(router_sink: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k heavy hitters by router request count, deterministic
+    tie-break (count desc, token asc). The global sort runs on the
+    ALREADY-AGGREGATED per-token counts (|tokens| ≪ |rows|), so the
+    single-partition window is a few-MB final step, not a data-path sort."""
+    from pyspark.sql import Window
+
+    counts = router_sink.groupBy("token").agg(F.count("*").alias("n_requests"))
+    w = Window.orderBy(F.col("n_requests").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n_requests")
+    )
+
+
 def batch_size_rollup(split_frames: DataFrame) -> DataFrame:
     """drain.go:46 ``lumbermill.batches.sizes`` — the frames-per-batch
     distribution. Exact percentiles over ALL batches instead of the

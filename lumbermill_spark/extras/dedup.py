@@ -486,6 +486,48 @@ def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(near)
 
 
+def dedup_clusters(
+    docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHOLD, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified minhash
+    near-dup pair graph; cluster_id = min doc_id reachable. Every doc gets a
+    row (singletons are their own cluster).
+
+    Iterative min-label propagation — the standard large-graph CC on Spark
+    (no GraphFrames dependency): each round joins labels to the edge list and
+    takes the neighborhood min. Near-dup components have tiny diameter, so
+    convergence is 2-3 rounds; the fixpoint is iteration-order-independent,
+    which is what makes the DuckDB recursive-CTE oracle value-comparable.
+    Convergence check is sum(cluster_id) — strictly decreasing until stable,
+    one cheap scalar agg per round instead of a full diff."""
+    pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = docs.select("doc_id").distinct().withColumn("cluster_id", F.col("doc_id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.persist()
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, labels.doc_id == nbr.dst, "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+    return labels.select("doc_id", "cluster_id")
+
+
 EMBED_NPROBE = 2  # near-identical vectors that straddle a cell boundary still
 # share a cell when each vector is assigned to its 2 nearest centroids
 

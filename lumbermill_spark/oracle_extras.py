@@ -38,28 +38,84 @@ FROM fp
 def _minhash_cte() -> str:
     """Shared CTE chain: docs → shingles → shingle hashes → 64-perm minhash
     signatures → band keys. Replays extras/dedup.py's md5 + universal-hash
-    family verbatim."""
+    family verbatim.
+
+    The per-perm min is computed RELATIONALLY (unnest × perms-table join +
+    group-by) instead of nested list lambdas: indexing a 64-element literal
+    list inside a DuckDB lambda re-constructs the list per evaluation —
+    measured 207 s at sf0.01 vs ~2 s for the join form."""
     k, rpb = D.SHINGLE_K, D.MINHASH_PERMS // D.MINHASH_BANDS
+    perm_rows = ",".join(
+        f"({j},{a},{b})" for j, (a, b) in enumerate(zip(D.PERM_A, D.PERM_B), start=1)
+    )
     return f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(length(text)-{k - 1}, 1)),
     i -> substring(text, i, {k}))) AS shingles
   FROM docs),
-hx AS (
-  SELECT doc_id, shingles, list_transform(shingles,
-    s -> ('0x'||substring(md5(s),1,8))::BIGINT % {D.MINHASH_P}) AS xs
-  FROM sh),
-sg AS (
-  SELECT doc_id, shingles, list_transform(generate_series(1,{D.MINHASH_PERMS}),
-    j -> list_min(list_transform(xs,
-      x -> (([{",".join(str(v) for v in D.PERM_A)}][j]) * x
-            + ([{",".join(str(v) for v in D.PERM_B)}][j])) % {D.MINHASH_P}))) AS sig
-  FROM hx),
-bd AS (
+xr AS (
+  SELECT doc_id, ('0x'||substring(md5(x.s),1,8))::BIGINT % {D.MINHASH_P} AS x
+  FROM sh, unnest(shingles) AS x(s)),
+perms(j, a, b) AS (SELECT * FROM (VALUES {perm_rows})),
+sgr AS (
+  SELECT doc_id, j, min((a * x + b) % {D.MINHASH_P}) AS mh
+  FROM xr CROSS JOIN perms GROUP BY doc_id, j),
+sg AS MATERIALIZED (
+  SELECT s.doc_id, s.shingles, g.sig FROM sh s JOIN (
+    SELECT doc_id, list(mh ORDER BY j) AS sig FROM sgr GROUP BY doc_id) g
+  ON g.doc_id = s.doc_id),
+bd AS MATERIALIZED (
   SELECT doc_id, b AS band_idx,
     md5(array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')) AS band_key
   FROM sg CROSS JOIN (SELECT unnest(generate_series(0,{D.MINHASH_BANDS - 1})) AS b) bands)
+"""
+
+
+def _minhash_pairs_cte() -> str:
+    """band candidates → signature-estimate pre-filter → exact-Jaccard
+    verified pairs (`prs`). Requires _minhash_cte() upstream."""
+    return f"""
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+est AS (  -- signature-estimate pre-filter, mirrors the Spark stage exactly
+  SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
+  FROM cand JOIN sg x ON x.doc_id = cand.doc_a JOIN sg y ON y.doc_id = cand.doc_b
+  WHERE len(list_filter(generate_series(1,{D.MINHASH_PERMS}), i -> x.sig[i] = y.sig[i]))
+        / {D.MINHASH_PERMS}.0 >= {D.MINHASH_ESTIMATE_CUTOFF}),
+prs AS (
+  SELECT doc_a, doc_b, sim FROM (
+    SELECT doc_a, doc_b,
+      round(len(list_intersect(sh_a, sh_b))::DOUBLE
+            / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS sim
+    FROM est)
+  WHERE sim >= {D.MINHASH_VERIFY_THRESHOLD})
+"""
+
+
+def dedup_clusters() -> str:
+    """Connected components over the verified near-dup pair graph via a
+    recursive closure (cluster = min reachable doc_id) — iteration-free, so
+    it pins Spark's label-propagation fixpoint exactly. Dup components are
+    tiny (2-3 docs), so the closure never blows up."""
+    return f"""
+WITH RECURSIVE {AUG_DOCS},
+{_minhash_cte()},
+{_minhash_pairs_cte()},
+edges AS MATERIALIZED (  -- without MATERIALIZED the recursion re-evaluates
+  -- the whole minhash chain on every step and never finishes
+  SELECT doc_a AS s, doc_b AS t FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM prs),
+nodes AS MATERIALIZED (SELECT doc_id FROM docs),
+reach(s, t) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
 """
 
 
@@ -97,21 +153,8 @@ def dedup_minhash_lsh() -> str:
     return f"""
 WITH {AUG_DOCS},
 {_minhash_cte()},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bd a JOIN bd b USING (band_idx, band_key)
-  WHERE a.doc_id < b.doc_id),
-est AS (  -- signature-estimate pre-filter, mirrors the Spark stage exactly
-  SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
-  FROM cand JOIN sg x ON x.doc_id = cand.doc_a JOIN sg y ON y.doc_id = cand.doc_b
-  WHERE len(list_filter(generate_series(1,{D.MINHASH_PERMS}), i -> x.sig[i] = y.sig[i]))
-        / {D.MINHASH_PERMS}.0 >= {D.MINHASH_ESTIMATE_CUTOFF}),
-p AS (
-  SELECT doc_a, doc_b,
-    round(len(list_intersect(sh_a, sh_b))::DOUBLE
-          / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS sim
-  FROM est)
-SELECT doc_a, doc_b, sim FROM p WHERE sim >= {D.MINHASH_VERIFY_THRESHOLD}
+{_minhash_pairs_cte()}
+SELECT doc_a, doc_b, sim FROM prs
 """
 
 

@@ -200,6 +200,47 @@ GROUP BY token
 """
 
 
+def sessions(path: str, gap_seconds: int) -> str:
+    """Gap-based sessionization replay (sessions.py): µs-exact gaps, NULL ts
+    never breaks a session."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{path}')
+), g AS (
+  SELECT conv_id, turn_idx, ts_us,
+    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts_us)
+              > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM t
+), s AS (
+  SELECT conv_id, turn_idx, ts_us,
+    CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT conv_id, session_idx,
+  count(*) AS n_turns,
+  min(turn_idx) AS first_turn,
+  max(turn_idx) AS last_turn,
+  min(ts_us) AS start_us,
+  max(ts_us) AS end_us
+FROM s GROUP BY conv_id, session_idx
+"""
+
+
+def top_tokens(path: str, k: int) -> str:
+    return classified_cte(path) + f"""
+, counts AS (
+  SELECT token, count(*) AS n_requests
+  FROM p WHERE msg_class = 'router' AND NOT parse_error GROUP BY token
+)
+SELECT CAST(rank AS INT) AS rank, token, n_requests FROM (
+  SELECT *, row_number() OVER (ORDER BY n_requests DESC, token ASC) AS rank
+  FROM counts) WHERE rank <= {k}
+"""
+
+
 def stale_tokens(path: str) -> str:
     """http.go:14,129-155 staleness predicate over the two dyno series,
     as_of = dataset max time (deterministic time.Now() replay)."""

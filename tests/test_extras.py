@@ -137,3 +137,24 @@ def test_mm_stub_deterministic_and_md5(spark, docs):
 def test_mm_strict_raises(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(multimodal.with_binary_payload(docs), strict=True)
+
+
+def test_dedup_clusters_group_copies_with_originals(spark, docs):
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(dedup.augmented_docs(docs)).collect()}
+    n_docs = docs.count()
+    assert len(out) == len(set(out.keys()))  # one row per doc
+    # every exact copy lands in its original's cluster (min id = original)
+    for i in range(0, n_docs, dedup.EXACT_COPY_MOD):
+        assert out[i + dedup.EXACT_ID_OFFSET] == out[i] == min(out[i], i)
+    # transitive: original of a near-copy that is also an exact-copy source
+    both = [i for i in range(n_docs) if i % dedup.EXACT_COPY_MOD == 0 and i % dedup.NEAR_COPY_MOD == 0]
+    for i in both:
+        assert out[i + dedup.EXACT_ID_OFFSET] == out[i + dedup.NEAR_ID_OFFSET] == out[i]
+    # docs touching no near-dup pair cluster to themselves (the corpus has
+    # NATURAL near-dups too, so derive singletons from the actual pair set)
+    paired = set()
+    for r in dedup.minhash_lsh_pairs(dedup.augmented_docs(docs)).collect():
+        paired.add(r["doc_a"])
+        paired.add(r["doc_b"])
+    singles = [i for i in out if i not in paired]
+    assert singles and all(out[i] == i for i in singles)
