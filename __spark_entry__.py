@@ -275,6 +275,12 @@ def _q_mm_decode(spark, sf_dir):
     return multimodal.decode_features(multimodal.with_binary_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_frame_sample(spark, sf_dir):
+    from lumbermill_spark.extras import multimodal
+
+    return multimodal.frame_sample(multimodal.with_binary_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lumbermill_spark import schemas as S
 
@@ -293,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "mm_decode_stub": _q_mm_decode,
+        "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
         "lm_router_error_codes": _q_router_error_codes,
         "lm_router_rollup": _q_router_rollup,
@@ -337,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": OX.text_langid(),
         "text_fingerprint": OX.text_fingerprint(),
         "mm_decode_stub": OX.mm_decode_stub(),
+        "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),
         "lm_sink_router": O.sink_router(tp),
         "lm_sink_events_router": O.sink_events_router(tp),

@@ -81,3 +81,59 @@ def decode_features(payloads: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(fn, schema=MM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: variable-fanout decode (one input blob → N output rows),
+# the plumbing shape of a video frame-sampler / audio chunker. The "frame"
+# is a fixed-byte slice of the payload (no codecs here); a real deployment
+# replaces the slicing with av.open(...).decode() and nothing else changes.
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    payloads: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """(doc_id, payload) → one row per SAMPLED frame: fixed-size slices at
+    indices 0, stride, 2·stride… (last frame may be short). Exercises the
+    one-to-many Arrow batch fan-out a real frame-sampler needs — output row
+    count is data-dependent, not 1:1 with input.
+
+    Frames are CHARACTER slices of the decoded payload (md5 of the slice's
+    UTF-8 bytes) so the DuckDB oracle — whose substring/md5 are VARCHAR-only
+    — computes the identical value; on this ASCII corpus char == byte."""
+
+    def fn(batches):
+        for pdf in batches:
+            ids, idxs, totals, digests = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b).decode("utf-8")
+                n_frames = max((len(data) + frame_bytes - 1) // frame_bytes, 1)
+                for fi in range(0, n_frames, stride):
+                    chunk = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(did)
+                    idxs.append(fi)
+                    totals.append(n_frames)
+                    digests.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_md5": digests,
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(fn, schema=_FRAME_SCHEMA)

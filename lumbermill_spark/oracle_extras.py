@@ -356,6 +356,25 @@ def text_fingerprint() -> str:
     return f"SELECT doc_id, {FINGERPRINT} AS fingerprint FROM documents"
 
 
+def mm_frame_sample() -> str:
+    """Replays extras/multimodal.frame_sample: character-slice frames of
+    FRAME_BYTES, sampled every FRAME_STRIDE, md5 per sampled frame."""
+    from .extras import multimodal as MM
+
+    fb, st = MM.FRAME_BYTES, MM.FRAME_STRIDE
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+    greatest((length(text) + {fb} - 1) // {fb}, 1) AS n_frames
+  FROM documents)
+SELECT doc_id,
+  CAST(fi AS INT) AS frame_idx,
+  CAST(n_frames AS INT) AS n_frames,
+  md5(substring(text, fi*{fb} + 1, {fb})) AS frame_md5
+FROM d, unnest(generate_series(0, (n_frames - 1)::BIGINT, {st})) AS f(fi)
+"""
+
+
 def mm_decode_stub() -> str:
     return """
 SELECT doc_id,
