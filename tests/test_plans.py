@@ -54,3 +54,41 @@ def test_column_pruning_reaches_dim_scan(spark):
     out = enrich.enrich(classify.classify(df), enrich.load_dims(spark))
     plan = _plan(parse.sink_router(parse.with_parsed(out, "pandas")))
     assert "ReadSchema: struct<tool:string>" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """The session groupBy must REUSE the window's conv_id hash partitioning
+    (HashPartitioning(conv_id) satisfies clustering on (conv_id, session_idx))
+    — exactly ONE shuffle for the whole operator."""
+    from lumbermill_spark import sessions
+
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    plan = _plan(sessions.sessionize(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_tokens_sorts_only_aggregated_counts(spark):
+    """The global top-k window must run AFTER the per-token aggregation —
+    a partial_count must appear below the single-partition exchange."""
+    from lumbermill_spark import aggregate
+
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    parsed = parse.with_parsed(classify.classify(df), "pandas")
+    plan = _plan(aggregate.top_tokens(parse.sink_router(parsed)))
+    # plans print top-down: the global rank Window must sit ABOVE the
+    # partial/final count aggregation, i.e. it sorts per-token counts,
+    # never raw rows
+    assert plan.index("Window") < plan.index("partial_count")
+
+
+def test_dedup_blocking_never_cross_joins(spark):
+    """Candidate generation in every dedup operator must be an equality join
+    on a blocking key — no cartesian/nested-loop stage at any scale."""
+    from lumbermill_spark.extras import dedup
+
+    docs = dedup.augmented_docs(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    for op in (dedup.minhash_lsh_pairs, dedup.simhash_pairs, dedup.ngram_jaccard_pairs):
+        plan = _plan(op(docs))
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+        spark.catalog.clearCache()
