@@ -146,6 +146,23 @@ def stale_tokens(dyno_load: DataFrame, dyno_mem: DataFrame, as_of_micros: int | 
     )
 
 
+def dyno_type_rollup(dyno_load_sink: DataFrame) -> DataFrame:
+    """Per dyno-type load rollup (the reference's dyno.load series grouped by
+    dynoType, drain.go:49-54 + points.go). Sums are fixed-point micro-units
+    (floor(x·1e6) as bigint): a float sum's value depends on reduction order,
+    which differs between a distributed partial agg and any single-node
+    oracle — integer micro-units are order-independent and exact."""
+    mu = lambda c: F.floor(F.col(c) * 1_000_000).cast("bigint")  # noqa: E731
+    return dyno_load_sink.groupBy("dyno_type", "source").agg(
+        F.count("*").alias("n"),
+        F.min("load_avg_1m").alias("min_1m"),
+        F.max("load_avg_1m").alias("max_1m"),
+        F.sum(mu("load_avg_1m")).alias("sum_1m_micro"),
+        F.sum(mu("load_avg_5m")).alias("sum_5m_micro"),
+        F.sum(mu("load_avg_15m")).alias("sum_15m_micro"),
+    )
+
+
 def top_tokens(router_sink: DataFrame, k: int = 10) -> DataFrame:
     """Exact top-k heavy hitters by router request count, deterministic
     tie-break (count desc, token asc). The global sort runs on the

@@ -229,6 +229,26 @@ FROM s GROUP BY conv_id, session_idx
 """
 
 
+def dyno_type_rollup(path: str) -> str:
+    src = _str_field(S.PAT_SOURCE)
+    mu = lambda c: f"CAST(floor({c} * 1000000) AS BIGINT)"  # noqa: E731
+    return classified_cte(path) + f"""
+, dl AS (
+  SELECT split_part({src}, '.', 1) AS dyno_type, {src} AS source,
+    {_float_field(S.LOAD_KEYS['load_avg_1m'])} AS l1,
+    {_float_field(S.LOAD_KEYS['load_avg_5m'])} AS l5,
+    {_float_field(S.LOAD_KEYS['load_avg_15m'])} AS l15
+  FROM p WHERE msg_class = 'dyno_load' AND NOT parse_error AND {src} <> ''
+)
+SELECT dyno_type, count(*) AS n,
+  min(l1) AS min_1m, max(l1) AS max_1m,
+  CAST(sum({mu('l1')}) AS BIGINT) AS sum_1m_micro,
+  CAST(sum({mu('l5')}) AS BIGINT) AS sum_5m_micro,
+  CAST(sum({mu('l15')}) AS BIGINT) AS sum_15m_micro
+FROM dl GROUP BY dyno_type
+"""
+
+
 def top_tokens(path: str, k: int) -> str:
     return classified_cte(path) + f"""
 , counts AS (
