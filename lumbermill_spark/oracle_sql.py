@@ -240,12 +240,12 @@ def dyno_type_rollup(path: str) -> str:
     {_float_field(S.LOAD_KEYS['load_avg_15m'])} AS l15
   FROM p WHERE msg_class = 'dyno_load' AND NOT parse_error AND {src} <> ''
 )
-SELECT dyno_type, count(*) AS n,
+SELECT dyno_type, source, count(*) AS n,
   min(l1) AS min_1m, max(l1) AS max_1m,
   CAST(sum({mu('l1')}) AS BIGINT) AS sum_1m_micro,
   CAST(sum({mu('l5')}) AS BIGINT) AS sum_5m_micro,
   CAST(sum({mu('l15')}) AS BIGINT) AS sum_15m_micro
-FROM dl GROUP BY dyno_type
+FROM dl GROUP BY dyno_type, source
 """
 
 
