@@ -115,8 +115,12 @@ def pat_int_suffix(key_suffix: str, unit: str) -> str:
 
 
 def pat_present(key: str) -> str:
-    """Key present at all (exact key match, any value)."""
-    return r"(?:^|\s)" + key + r"="
+    """Key present at all: `key=...` OR a bare valueless `key` token — the
+    logfmt scanner yields valueless keys with a nil value, and routerMsg's
+    Atoi(nil) errors exactly like Atoi("garbage") (router_msg.go:58-81), so
+    presence without '=' must also drop the row. Found by the parser fuzz
+    (tests/test_parse_fuzz.py): 'fwd connect desc=x' must drop."""
+    return r"(?:^|\s)" + key + r"(?:=|\s|$)"
 
 
 # routerMsg required ints: any present-but-unparseable one drops the row
