@@ -88,3 +88,41 @@ def test_conv_running_stats_stateful(spark, stream_input, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_windowed_rollup_stream_matches_batch(spark, stream_input, tmp_path):
+    """The streaming event-time windowed rollup (with watermark) drained via
+    availableNow must equal the same windowed aggregation computed in batch
+    (complete mode ⇒ final state; no late data in a drained replay)."""
+    from pyspark.sql import functions as F
+    from lumbermill_spark import classify, schemas as S
+
+    q = (
+        streaming.windowed_rollup_stream(spark, stream_input)
+        .writeStream.format("memory")
+        .queryName("win_rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window"]["start"], r["window"]["end"]): (r["n_requests"], r["p50_service"])
+        for r in spark.sql("SELECT * FROM win_rollup").collect()
+    }
+
+    cl = classify.classify(spark.read.parquet(stream_input))
+    router = cl.filter(F.col("msg_class") == S.CLS_ROUTER)
+    want = {
+        (r["window"]["start"], r["window"]["end"]): (r["n_requests"], r["p50_service"])
+        for r in router.groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.percentile_approx(
+                F.regexp_extract("text", S.ROUTER_INT_KEYS["service"], 1).cast("int"), 0.5
+            ).alias("p50_service"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
