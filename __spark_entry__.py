@@ -275,6 +275,12 @@ def _q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _q_text_sample(spark, sf_dir):
+    from lumbermill_spark.extras import textstats
+
+    return textstats.sampled_lang_counts(_docs(spark, sf_dir))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -304,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_sample": _q_text_sample,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -350,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),
         "text_fingerprint": OX.text_fingerprint(),
+        "text_sample": OX.text_sample(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -93,3 +93,39 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in LANG_ORDER:
         out = out.withColumn("score_" + lang, scores[lang].cast("int"))
     return out.withColumn("pred_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling — the scale-correct alternative to rand():
+# membership is a pure function of (doc_id, salt), so the sample is stable
+# across retries/resumes/engines (rand() resamples per task attempt and can
+# never be oracle-verified). Standard trick for train/val splits and
+# stratified corpus downsampling at 10^12 rows.
+# ---------------------------------------------------------------------------
+
+SAMPLE_SALT = "lmsample-v1"
+
+
+def hash_sample(df: DataFrame, fraction: float, salt: str = SAMPLE_SALT,
+                key_col: str = "doc_id") -> DataFrame:
+    """Keep rows where the first 8 md5 hex digits of 'salt:key' fall below
+    fraction * 2^32 — uniform, deterministic, engine-portable (md5 is the
+    same everywhere; Spark conv == DuckDB '0x' cast)."""
+    cutoff = int(fraction * (1 << 32))
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+    return df.filter(h < cutoff)
+
+
+def sampled_lang_counts(docs: DataFrame, fraction: float = 0.1) -> DataFrame:
+    """Per-language doc counts over a deterministic hash sample — the
+    stratification sanity-check a corpus pipeline runs before training."""
+    return (
+        hash_sample(docs, fraction)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -384,3 +384,17 @@ SELECT doc_id,
   CAST(((('0x' || substr(md5(text), 3, 2))::INT % 32 + 1) * 16) AS INT) AS height
 FROM documents
 """
+
+
+def text_sample() -> str:
+    """Replays extras/textstats.hash_sample + sampled_lang_counts."""
+    from .extras import textstats as TS2
+
+    cutoff = int(0.1 * (1 << 32))
+    return f"""
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ('0x'||substring(md5('{TS2.SAMPLE_SALT}' || ':' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+      < {cutoff}
+GROUP BY lang
+"""
