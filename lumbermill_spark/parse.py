@@ -225,7 +225,8 @@ def _nat_float(text: Column, pat: str) -> Column:
 
 
 def parse_fields_native(msg_class: Column, text: Column) -> Column:
-    odd_quotes = (F.length(text) - F.length(F.regexp_replace(text, '"', ""))) % 2 == 1
+    # literal replace, not regexp_replace — no java.util.regex for a 1-char count
+    odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
     is_router = msg_class == S.CLS_ROUTER
 
     router_bad = F.lit(False)
