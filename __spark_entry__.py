@@ -142,6 +142,12 @@ def _q_sessions(spark, sf_dir):
     return sessions.sessionize(_transcripts(spark, sf_dir))
 
 
+def _q_rollup_windowed(spark, sf_dir):
+    from lumbermill_spark import aggregate, parse
+
+    return aggregate.router_rollup_windowed(parse.sink_router(_parsed(spark, sf_dir)))
+
+
 def _q_dyno_rollup(spark, sf_dir):
     from lumbermill_spark import aggregate, parse
 
@@ -324,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_sessions": _q_sessions,
         "lm_top_tokens": _q_top_tokens,
         "lm_dyno_rollup": _q_dyno_rollup,
+        "lm_rollup_windowed": _q_rollup_windowed,
         "lm_turn_ordering": _q_turn_ordering,
         "lm_frames_replay": _q_frames_replay,
         "lm_frames_scan": _q_frames_scan,
@@ -376,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_sessions": O.sessions(tp, 300),
         "lm_top_tokens": O.top_tokens(tp, 10),
         "lm_dyno_rollup": O.dyno_type_rollup(tp),
+        "lm_rollup_windowed": O.router_rollup_windowed(tp),
         "lm_turn_ordering": O.turn_ordering(tp),
         "lm_frames_replay": O.frames_replay_counts(fp),
         # the byte scanner must reproduce the regex-split replay exactly —

@@ -96,12 +96,17 @@ def router_rollup(router_sink: DataFrame) -> DataFrame:
     )
 
 
-def router_rollup_windowed(router_sink: DataFrame, window: str = "1 minute") -> DataFrame:
-    """Event-time tumbling-window rollup (ts reconstructed from µs time)."""
-    ts = F.timestamp_micros(F.col("time"))
+def router_rollup_windowed(router_sink: DataFrame, window_seconds: int = 60) -> DataFrame:
+    """Event-time tumbling-window rollup. The window key is computed as
+    integer µs floor-division (identical in every engine) rather than
+    F.window structs, so the DuckDB oracle can replay the bucketing exactly;
+    window_start_us = epoch µs of the window's start."""
+    w_us = window_seconds * 1_000_000
     return (
-        router_sink.withColumn("w", F.window(ts, window))
-        .groupBy(F.col("w.start").alias("window_start"))
+        router_sink.withColumn(
+            "window_start_us", (F.col("time") - (F.col("time") % w_us)).cast("bigint")
+        )
+        .groupBy("window_start_us")
         .agg(
             F.count("*").alias("n_requests"),
             F.round(F.expr("percentile(service, 0.5)"), 6).alias("p50_service"),

@@ -176,6 +176,22 @@ FROM r GROUP BY token
 """
 
 
+def router_rollup_windowed(path: str, window_seconds: int = 60) -> str:
+    w_us = window_seconds * 1_000_000
+    return classified_cte(path) + f"""
+, r AS (
+  SELECT time - (time % {w_us}) AS window_start_us,
+    {_int_field(S.ROUTER_INT_KEYS['service'])} AS service
+  FROM p WHERE msg_class = 'router' AND NOT parse_error
+)
+SELECT window_start_us,
+  count(*) AS n_requests,
+  round(quantile_cont(service, 0.5), 6) AS p50_service,
+  round(quantile_cont(service, 0.99), 6) AS p99_service
+FROM r GROUP BY window_start_us
+"""
+
+
 def enrich_counts(path: str, tools_path: str, roles_path: str) -> str:
     return classified_cte(path) + f"""
 SELECT
