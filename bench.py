@@ -53,6 +53,7 @@ def main() -> None:
     run_pipeline("pandas")
     timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"), runs=2)
     timed("pipeline_noop_native", lambda: run_pipeline("native"), runs=2)
+    timed("pipeline_noop_native_fast", lambda: run_pipeline("native_fast"), runs=2)
 
     phase_timings: dict[str, float] = {}
 

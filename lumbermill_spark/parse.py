@@ -268,6 +268,126 @@ def parse_fields_native(msg_class: Column, text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# native_fast: locate/substring field scanning — NO java.util.regex over the
+# full line. The java regex engine re-scans ~300 chars per pattern per row
+# (the native parser runs ~10 of them); indexOf + a tiny ^[+-]?\d+$ rlike on
+# the ≤10-char EXTRACTED value does the same work in a fraction of the time.
+# Same semantics as the shared patterns on the engine's declared grammar
+# (space-separated pairs; suffix keys in canonical 'sample#<metric>' form);
+# pinned by tests/test_parse_golden.py + the hypothesis fuzz.
+# ---------------------------------------------------------------------------
+
+_BIG = 1_000_000  # substring 'to end of string' length
+
+
+def _ff_val(pad: Column, key: str) -> tuple[Column, Column]:
+    """(kpos, raw space-terminated value after ' key='). kpos=0 → absent."""
+    needle = " " + key + "="
+    kpos = F.locate(needle, pad)
+    after = pad.substr(kpos + len(needle), F.lit(_BIG))
+    return kpos, F.substring_index(after, " ", 1)
+
+
+def _ff_strip(val: Column, unit: str) -> Column:
+    """TrimSuffix(unit) — strips ONE trailing unit if present."""
+    if not unit:
+        return val
+    return F.when(
+        val.endswith(unit), val.substr(F.lit(1), F.length(val) - len(unit))
+    ).otherwise(val)
+
+
+def _ff_int(pad: Column, key: str, unit: str = "") -> tuple[Column, Column]:
+    """(value-or-0, present-but-bad) with router semantics: presence = 'key='
+    or a bare valueless 'key' token; bad unless the value is a pure int
+    (after TrimSuffix(unit))."""
+    kpos, raw = _ff_val(pad, key)
+    stripped = _ff_strip(raw, unit)
+    ok = (kpos > 0) & stripped.rlike(r"^[+-]?\d+$")
+    bare = F.locate(" " + key + " ", F.concat(pad, F.lit(" "))) > 0
+    present = (kpos > 0) | bare
+    v = F.when(ok, stripped.cast("int")).otherwise(F.lit(0))
+    return v, present & ~ok
+
+
+def _ff_str(pad: Column, key: str) -> Column:
+    """Quoted-or-bare string value (pat_str semantics): '"([^"]*)"' needs a
+    CLOSING quote (unterminated → falls through to the bare alternative,
+    which stops at the quote → empty); bare stops at space or quote."""
+    needle = " " + key + "="
+    kpos = F.locate(needle, pad)
+    after = pad.substr(kpos + len(needle), F.lit(_BIG))
+    inner = after.substr(F.lit(2), F.lit(_BIG))
+    quoted = F.when(F.locate('"', inner) > 0, F.substring_index(inner, '"', 1)).otherwise(
+        F.lit("")
+    )
+    bare = F.substring_index(F.substring_index(after, " ", 1), '"', 1)
+    return F.when(kpos == 0, F.lit("")).otherwise(
+        F.when(after.startswith('"'), quoted).otherwise(bare)
+    )
+
+
+def _ff_float(pad: Column, key: str, unit: str = "") -> Column:
+    """Float-or-0.0 for canonical 'sample#<metric>' keys (errors swallowed,
+    dyno_msg.go semantics)."""
+    kpos, raw = _ff_val(pad, "sample#" + key)
+    stripped = _ff_strip(raw, unit)
+    ok = (kpos > 0) & stripped.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)$")
+    return F.when(ok, stripped.cast("double")).otherwise(F.lit(0.0))
+
+
+def _ff_int_swallow(pad: Column, key: str, unit: str) -> Column:
+    kpos, raw = _ff_val(pad, "sample#" + key)
+    stripped = _ff_strip(raw, unit)
+    ok = (kpos > 0) & stripped.rlike(r"^[+-]?\d+$")
+    return F.when(ok, stripped.cast("int")).otherwise(F.lit(0))
+
+
+def parse_fields_native_fast(msg_class: Column, text: Column) -> Column:
+    pad = F.concat(F.lit(" "), text)
+    odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
+    is_router = msg_class == S.CLS_ROUTER
+
+    router_bad = F.lit(False)
+    ints = {}
+    for key, unit in (("connect", "ms"), ("service", "ms"), ("status", ""), ("bytes", "")):
+        v, bad = _ff_int(pad, key, unit)
+        ints[key] = v
+        router_bad = router_bad | bad
+
+    code2 = F.substring(text, len(S.SENTINEL_DYNO_ERROR) + 1, 2)
+    ecode_ok = code2.rlike(r"^(\d\d|[+-]\d)$")
+
+    is_mem = msg_class == S.CLS_DYNO_MEM
+    is_load = msg_class == S.CLS_DYNO_LOAD
+    is_rerr = msg_class == S.CLS_ROUTER_ERROR
+    is_derr = msg_class == S.CLS_DYNO_ERROR
+    logfmt_cls = is_router | is_rerr | is_mem | is_load
+
+    return F.struct(
+        F.when(is_router, ints["status"]).otherwise(F.lit(0)).cast("int").alias("status"),
+        F.when(is_router, ints["service"]).otherwise(F.lit(0)).cast("int").alias("service"),
+        F.when(is_rerr, _ff_str(pad, "code")).otherwise(F.lit("")).alias("error_code"),
+        F.when(is_derr & ecode_ok, code2.cast("int")).otherwise(F.lit(0)).cast("int").alias("dyno_ecode"),
+        F.when(is_mem | is_load, _ff_str(pad, "source")).otherwise(F.lit("")).alias("source"),
+        F.when(is_mem, _ff_float(pad, "memory_cache", "MB")).otherwise(F.lit(0.0)).alias("memory_cache"),
+        F.when(is_mem, _ff_int_swallow(pad, "memory_pgpgin", "pages")).otherwise(F.lit(0)).cast("int").alias("memory_pgpgin"),
+        F.when(is_mem, _ff_int_swallow(pad, "memory_pgpgout", "pages")).otherwise(F.lit(0)).cast("int").alias("memory_pgpgout"),
+        F.when(is_mem, _ff_float(pad, "memory_rss", "MB")).otherwise(F.lit(0.0)).alias("memory_rss"),
+        F.when(is_mem, _ff_float(pad, "memory_swap", "MB")).otherwise(F.lit(0.0)).alias("memory_swap"),
+        F.when(is_mem, _ff_float(pad, "memory_total", "MB")).otherwise(F.lit(0.0)).alias("memory_total"),
+        F.when(is_load, _ff_float(pad, "load_avg_1m")).otherwise(F.lit(0.0)).alias("load_avg_1m"),
+        F.when(is_load, _ff_float(pad, "load_avg_5m")).otherwise(F.lit(0.0)).alias("load_avg_5m"),
+        F.when(is_load, _ff_float(pad, "load_avg_15m")).otherwise(F.lit(0.0)).alias("load_avg_15m"),
+        (
+            (logfmt_cls & odd_quotes)
+            | (is_router & router_bad)
+            | (is_derr & ~ecode_ok)
+        ).alias("parse_error"),
+    )
+
+
 # The UDF IS deterministic; the marker is an optimizer fence. Without it,
 # Catalyst clones the UDF call when a downstream filter references one struct
 # field and a projection references others (filter-below-project each get
@@ -283,8 +403,10 @@ def with_parsed(df: DataFrame, parser: str = "pandas") -> DataFrame:
         p = _parse_fields_once(F.col("msg_class"), F.col("text"))
     elif parser == "native":
         p = parse_fields_native(F.col("msg_class"), F.col("text"))
+    elif parser == "native_fast":
+        p = parse_fields_native_fast(F.col("msg_class"), F.col("text"))
     else:
-        raise ValueError("parser must be 'pandas' or 'native'")
+        raise ValueError("parser must be 'pandas', 'native', or 'native_fast'")
     return df.withColumn("p", p)
 
 

@@ -82,7 +82,7 @@ def test_parsers_match_oracle_on_fuzzed_lines(spark, rows):
             for (c, i, r, x, tl, t) in rows
         ]
     )
-    for parser in ("pandas", "native"):
+    for parser in ("pandas", "native", "native_fast"):
         parsed = parse.with_parsed(classify.classify(df), parser=parser)
         for name, builder in parse.SINK_BUILDERS.items():
             got = sorted(tuple(r) for r in builder(parsed).collect())

@@ -27,7 +27,7 @@ def _oracle_outputs():
     return {k: sorted(map(tuple, v)) for k, v in sinks.items()}, counters
 
 
-@pytest.mark.parametrize("parser", ["pandas", "native"])
+@pytest.mark.parametrize("parser", ["pandas", "native", "native_fast"])
 def test_sinks_match_oracle(spark, parser):
     got_sinks, got_counts = _spark_outputs(spark, parser)
     exp_sinks, exp_counters = _oracle_outputs()
