@@ -88,7 +88,10 @@ def test_dedup_blocking_never_cross_joins(spark):
 
     docs = dedup.augmented_docs(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     for op in (dedup.minhash_lsh_pairs, dedup.simhash_pairs, dedup.ngram_jaccard_pairs):
-        plan = _plan(op(docs))
+        # materialize=False: inspect the LAZY candidate-generation plan —
+        # the default eager localCheckpoint collapses it to a LogicalRDD,
+        # which would make this assertion vacuous
+        plan = _plan(op(docs, materialize=False))
         assert "CartesianProduct" not in plan, op.__name__
         assert "BroadcastNestedLoopJoin" not in plan, op.__name__
         spark.catalog.clearCache()
