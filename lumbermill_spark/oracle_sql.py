@@ -23,25 +23,62 @@ def _sql_quote(pat: str) -> str:
     return "'" + pat.replace("'", "''") + "'"
 
 
+# Quote-aware dispatch, mirroring the Spark parsers exactly (schemas.py):
+# adversarial rows (a quoted span containing whitespace/'=') use the
+# quote-parity-prefixed pattern, everything else the fast pattern.
+_ADV_SQL = "regexp_matches(text, %s)" % _sql_quote(S.ADVERSARIAL_RX)
+
+
+def _qa_dispatch(render, pat: str) -> str:
+    return "CASE WHEN %s THEN %s ELSE %s END" % (
+        _ADV_SQL,
+        render(S.quote_aware(pat)),
+        render(pat),
+    )
+
+
 def _int_field(pat: str) -> str:
-    return "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS INT)" % _sql_quote(pat)
+    return _qa_dispatch(
+        lambda p: "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS INT)"
+        % _sql_quote(p),
+        pat,
+    )
 
 
 def _float_field(pat: str) -> str:
-    return "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS DOUBLE)" % _sql_quote(pat)
+    return _qa_dispatch(
+        lambda p: "CAST(coalesce(nullif(regexp_extract(text, %s, 1), ''), '0') AS DOUBLE)"
+        % _sql_quote(p),
+        pat,
+    )
 
 
 def _str_field(pat: str) -> str:
-    g1 = "regexp_extract(text, %s, 1)" % _sql_quote(pat)
-    g2 = "regexp_extract(text, %s, 2)" % _sql_quote(pat)
-    return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1, g2)
+    def render(p):
+        g1 = "regexp_extract(text, %s, 1)" % _sql_quote(p)
+        g2 = "regexp_extract(text, %s, 2)" % _sql_quote(p)
+        return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1, g2)
+
+    return _qa_dispatch(render, pat)
 
 
 ODD_QUOTES = "((length(text) - length(replace(text, '\"', ''))) %% 2 = 1)".replace("%%", "%")
 
+
+def _bad_conjunct(present_pat: str, val_pat: str) -> str:
+    return "(regexp_matches(text, %s) AND regexp_extract(text, %s, 1) = '')" % (
+        _sql_quote(present_pat),
+        _sql_quote(val_pat),
+    )
+
+
 _ROUTER_BAD = " OR ".join(
-    "(regexp_matches(text, %s) AND regexp_extract(text, %s, 1) = '')"
-    % (_sql_quote(S.PAT_ROUTER_PRESENT[k]), _sql_quote(S.ROUTER_INT_KEYS[k]))
+    "(CASE WHEN %s THEN %s ELSE %s END)"
+    % (
+        _ADV_SQL,
+        _bad_conjunct(S.PAT_ROUTER_PRESENT_QA[k], S.ROUTER_INT_KEYS_QA[k]),
+        _bad_conjunct(S.PAT_ROUTER_PRESENT[k], S.ROUTER_INT_KEYS[k]),
+    )
     for k in ("connect", "service", "status", "bytes")
 )
 

@@ -25,10 +25,16 @@ logfmt-parsed class; we detect it as an odd count of '"' bytes (exact for
 lines without escaped quotes; the datagen produces none — divergence for
 pathological escapes is documented in tests/test_parse_golden.py).
 
-Approximation note: the regexes anchor keys at whitespace/line-start, so a
+Quote-awareness: the regexes anchor keys at whitespace/line-start, so a
 ``key=`` sequence embedded inside a *quoted value that itself contains
-whitespace* would be misattributed; the reference scanner tokenizes quotes
-first. None of the reference's producers emit such lines.
+whitespace or '='* could be misattributed (the reference scanner tokenizes
+quotes first). Such rows are detected (schemas.ADVERSARIAL_RX) and parsed
+with the quote-parity-prefixed patterns (schemas.quote_aware) that only let
+a key match start after an even number of quotes; all other rows take the
+fast patterns, which are provably identical to the scanner there. The
+pandas parser dispatches PER BATCH SLICE (one adversarial row switches its
+whole class-slice to the QA patterns) — still row-deterministic, because
+the two pattern families agree on every safe row.
 """
 
 from __future__ import annotations
@@ -74,6 +80,13 @@ _N_SOURCE = _named(S.PAT_SOURCE, ("q", "b"))
 _N_MEM_FLOAT = {k: _named(p) for k, p in S.MEM_FLOAT_KEYS.items()}
 _N_MEM_INT = {k: _named(p) for k, p in S.MEM_INT_KEYS.items()}
 _N_LOAD = {k: _named(p) for k, p in S.LOAD_KEYS.items()}
+# quote-aware variants (see module docstring / schemas.quote_aware)
+_N_ROUTER_INT_QA = {k: _named(p) for k, p in S.ROUTER_INT_KEYS_QA.items()}
+_N_CODE_QA = _named(S.PAT_CODE_QA, ("q", "b"))
+_N_SOURCE_QA = _named(S.PAT_SOURCE_QA, ("q", "b"))
+_N_MEM_FLOAT_QA = {k: _named(p) for k, p in S.MEM_FLOAT_KEYS_QA.items()}
+_N_MEM_INT_QA = {k: _named(p) for k, p in S.MEM_INT_KEYS_QA.items()}
+_N_LOAD_QA = {k: _named(p) for k, p in S.LOAD_KEYS_QA.items()}
 _RX_DYNO_ECODE = r"^(\d\d|[+-]\d)$"
 
 
@@ -127,15 +140,24 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
             pc.bit_wise_and(pc.count_substring(sub, '"'), pa.scalar(1)).to_numpy(zero_copy_only=False) == 1
         )
 
+    def has_adversarial(sub):
+        # any quoted span containing whitespace/'=' in this class slice →
+        # the whole slice takes the quote-parity patterns (safe rows parse
+        # identically under both families, so this stays row-deterministic)
+        return bool(pc.any(pc.match_substring_regex(sub, S.ADVERSARIAL_RX)).as_py())
+
     # --- router: 4 required ints; present-but-bad ⇒ drop
     idx = np.flatnonzero(cls == S.CLS_ROUTER)
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         err = odd_quotes(sub)
+        adv = has_adversarial(sub)
+        n_int = _N_ROUTER_INT_QA if adv else _N_ROUTER_INT
+        n_present = S.PAT_ROUTER_PRESENT_QA if adv else S.PAT_ROUTER_PRESENT
         for key in ("connect", "service", "status", "bytes"):
-            ext = pc.extract_regex(sub, _N_ROUTER_INT[key])
+            ext = pc.extract_regex(sub, n_int[key])
             vals = pc.struct_field(ext, "v")
-            present = pc.match_substring_regex(sub, S.PAT_ROUTER_PRESENT[key]).to_numpy(
+            present = pc.match_substring_regex(sub, n_present[key]).to_numpy(
                 zero_copy_only=False
             )
             bad = present & pc.is_null(vals).to_numpy(zero_copy_only=False)
@@ -151,7 +173,7 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        error_code[idx] = _coalesced(sub, _N_CODE)
+        error_code[idx] = _coalesced(sub, _N_CODE_QA if has_adversarial(sub) else _N_CODE)
 
     # --- dyno_error: Atoi(text[7:9]) or drop
     idx = np.flatnonzero(cls == S.CLS_DYNO_ERROR)
@@ -164,19 +186,20 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
         parse_error[idx] = ~ok
 
     # --- dyno_mem / dyno_load: errors swallowed to 0
-    for cname, fkeys, ikeys in (
-        (S.CLS_DYNO_MEM, _N_MEM_FLOAT, _N_MEM_INT),
-        (S.CLS_DYNO_LOAD, _N_LOAD, {}),
+    for cname, fpair, ipair in (
+        (S.CLS_DYNO_MEM, (_N_MEM_FLOAT, _N_MEM_FLOAT_QA), (_N_MEM_INT, _N_MEM_INT_QA)),
+        (S.CLS_DYNO_LOAD, (_N_LOAD, _N_LOAD_QA), ({}, {})),
     ):
         idx = np.flatnonzero(cls == cname)
         if not len(idx):
             continue
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        source[idx] = _coalesced(sub, _N_SOURCE)
-        for key, pat in fkeys.items():
+        adv = has_adversarial(sub)
+        source[idx] = _coalesced(sub, _N_SOURCE_QA if adv else _N_SOURCE)
+        for key, pat in (fpair[1] if adv else fpair[0]).items():
             doubles[key][idx] = _to_f64(_ext(sub, pat))
-        for key, pat in ikeys.items():
+        for key, pat in (ipair[1] if adv else ipair[0]).items():
             ints[key][idx] = _to_i32(_ext(sub, pat))
 
     return pd.DataFrame(
@@ -206,33 +229,55 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _nat_int(text: Column, pat: str, present_pat: str) -> tuple[Column, Column]:
-    raw = F.regexp_extract(text, pat, 1)
-    v = F.when(raw != "", raw.cast("int"))
-    bad = text.rlike(present_pat) & v.isNull()
-    return F.coalesce(v, F.lit(0)), bad
+def _adv(text: Column) -> Column:
+    """Row needs the quote-parity patterns (see schemas.ADVERSARIAL_RX)."""
+    return text.rlike(S.ADVERSARIAL_RX)
 
 
-def _nat_str(text: Column, pat: str) -> Column:
-    g1 = F.regexp_extract(text, pat, 1)
-    g2 = F.regexp_extract(text, pat, 2)
-    return F.when(g1 != "", g1).otherwise(g2)
+def _nat_int(text: Column, adv: Column, pats: tuple[str, str], present_pats: tuple[str, str]) -> tuple[Column, Column]:
+    def one(pat, present_pat):
+        raw = F.regexp_extract(text, pat, 1)
+        v = F.when(raw != "", raw.cast("int"))
+        bad = text.rlike(present_pat) & v.isNull()
+        return F.coalesce(v, F.lit(0)), bad
+
+    fv, fbad = one(pats[0], present_pats[0])
+    qv, qbad = one(pats[1], present_pats[1])
+    return F.when(adv, qv).otherwise(fv), F.when(adv, qbad).otherwise(fbad)
 
 
-def _nat_float(text: Column, pat: str) -> Column:
-    raw = F.regexp_extract(text, pat, 1)
-    return F.coalesce(F.when(raw != "", raw.cast("double")), F.lit(0.0))
+def _nat_str(text: Column, adv: Column, pats: tuple[str, str]) -> Column:
+    def one(pat):
+        g1 = F.regexp_extract(text, pat, 1)
+        g2 = F.regexp_extract(text, pat, 2)
+        return F.when(g1 != "", g1).otherwise(g2)
+
+    return F.when(adv, one(pats[1])).otherwise(one(pats[0]))
+
+
+def _nat_float(text: Column, adv: Column, pats: tuple[str, str]) -> Column:
+    def one(pat):
+        raw = F.regexp_extract(text, pat, 1)
+        return F.coalesce(F.when(raw != "", raw.cast("double")), F.lit(0.0))
+
+    return F.when(adv, one(pats[1])).otherwise(one(pats[0]))
 
 
 def parse_fields_native(msg_class: Column, text: Column) -> Column:
     # literal replace, not regexp_replace — no java.util.regex for a 1-char count
     odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
     is_router = msg_class == S.CLS_ROUTER
+    adv = _adv(text)
 
     router_bad = F.lit(False)
     ints = {}
     for key in ("connect", "service", "status", "bytes"):
-        v, bad = _nat_int(text, S.ROUTER_INT_KEYS[key], S.PAT_ROUTER_PRESENT[key])
+        v, bad = _nat_int(
+            text,
+            adv,
+            (S.ROUTER_INT_KEYS[key], S.ROUTER_INT_KEYS_QA[key]),
+            (S.PAT_ROUTER_PRESENT[key], S.PAT_ROUTER_PRESENT_QA[key]),
+        )
         ints[key] = v
         router_bad = router_bad | bad
 
@@ -248,18 +293,18 @@ def parse_fields_native(msg_class: Column, text: Column) -> Column:
     return F.struct(
         F.when(is_router, ints["status"]).otherwise(F.lit(0)).cast("int").alias("status"),
         F.when(is_router, ints["service"]).otherwise(F.lit(0)).cast("int").alias("service"),
-        F.when(is_rerr, _nat_str(text, S.PAT_CODE)).otherwise(F.lit("")).alias("error_code"),
+        F.when(is_rerr, _nat_str(text, adv, (S.PAT_CODE, S.PAT_CODE_QA))).otherwise(F.lit("")).alias("error_code"),
         F.when(is_derr & ecode_ok, code2.cast("int")).otherwise(F.lit(0)).cast("int").alias("dyno_ecode"),
-        F.when(is_mem | is_load, _nat_str(text, S.PAT_SOURCE)).otherwise(F.lit("")).alias("source"),
-        F.when(is_mem, _nat_float(text, S.MEM_FLOAT_KEYS["memory_cache"])).otherwise(F.lit(0.0)).alias("memory_cache"),
-        F.when(is_mem, _nat_int(text, S.MEM_INT_KEYS["memory_pgpgin"], "x^")[0]).otherwise(F.lit(0)).cast("int").alias("memory_pgpgin"),
-        F.when(is_mem, _nat_int(text, S.MEM_INT_KEYS["memory_pgpgout"], "x^")[0]).otherwise(F.lit(0)).cast("int").alias("memory_pgpgout"),
-        F.when(is_mem, _nat_float(text, S.MEM_FLOAT_KEYS["memory_rss"])).otherwise(F.lit(0.0)).alias("memory_rss"),
-        F.when(is_mem, _nat_float(text, S.MEM_FLOAT_KEYS["memory_swap"])).otherwise(F.lit(0.0)).alias("memory_swap"),
-        F.when(is_mem, _nat_float(text, S.MEM_FLOAT_KEYS["memory_total"])).otherwise(F.lit(0.0)).alias("memory_total"),
-        F.when(is_load, _nat_float(text, S.LOAD_KEYS["load_avg_1m"])).otherwise(F.lit(0.0)).alias("load_avg_1m"),
-        F.when(is_load, _nat_float(text, S.LOAD_KEYS["load_avg_5m"])).otherwise(F.lit(0.0)).alias("load_avg_5m"),
-        F.when(is_load, _nat_float(text, S.LOAD_KEYS["load_avg_15m"])).otherwise(F.lit(0.0)).alias("load_avg_15m"),
+        F.when(is_mem | is_load, _nat_str(text, adv, (S.PAT_SOURCE, S.PAT_SOURCE_QA))).otherwise(F.lit("")).alias("source"),
+        F.when(is_mem, _nat_float(text, adv, (S.MEM_FLOAT_KEYS["memory_cache"], S.MEM_FLOAT_KEYS_QA["memory_cache"]))).otherwise(F.lit(0.0)).alias("memory_cache"),
+        F.when(is_mem, _nat_int(text, adv, (S.MEM_INT_KEYS["memory_pgpgin"], S.MEM_INT_KEYS_QA["memory_pgpgin"]), ("x^", "x^"))[0]).otherwise(F.lit(0)).cast("int").alias("memory_pgpgin"),
+        F.when(is_mem, _nat_int(text, adv, (S.MEM_INT_KEYS["memory_pgpgout"], S.MEM_INT_KEYS_QA["memory_pgpgout"]), ("x^", "x^"))[0]).otherwise(F.lit(0)).cast("int").alias("memory_pgpgout"),
+        F.when(is_mem, _nat_float(text, adv, (S.MEM_FLOAT_KEYS["memory_rss"], S.MEM_FLOAT_KEYS_QA["memory_rss"]))).otherwise(F.lit(0.0)).alias("memory_rss"),
+        F.when(is_mem, _nat_float(text, adv, (S.MEM_FLOAT_KEYS["memory_swap"], S.MEM_FLOAT_KEYS_QA["memory_swap"]))).otherwise(F.lit(0.0)).alias("memory_swap"),
+        F.when(is_mem, _nat_float(text, adv, (S.MEM_FLOAT_KEYS["memory_total"], S.MEM_FLOAT_KEYS_QA["memory_total"]))).otherwise(F.lit(0.0)).alias("memory_total"),
+        F.when(is_load, _nat_float(text, adv, (S.LOAD_KEYS["load_avg_1m"], S.LOAD_KEYS_QA["load_avg_1m"]))).otherwise(F.lit(0.0)).alias("load_avg_1m"),
+        F.when(is_load, _nat_float(text, adv, (S.LOAD_KEYS["load_avg_5m"], S.LOAD_KEYS_QA["load_avg_5m"]))).otherwise(F.lit(0.0)).alias("load_avg_5m"),
+        F.when(is_load, _nat_float(text, adv, (S.LOAD_KEYS["load_avg_15m"], S.LOAD_KEYS_QA["load_avg_15m"]))).otherwise(F.lit(0.0)).alias("load_avg_15m"),
         (
             (logfmt_cls & odd_quotes)
             | (is_router & router_bad)
@@ -345,6 +390,15 @@ def _ff_int_swallow(pad: Column, key: str, unit: str) -> Column:
 
 
 def parse_fields_native_fast(msg_class: Column, text: Column) -> Column:
+    """Quote-awareness: the locate/substring scan is only valid on rows whose
+    quoted spans contain no whitespace/'='; adversarial rows (one rlike per
+    row — the single full-line java regex this parser now runs) fall back to
+    the quote-parity regex struct of parse_fields_native."""
+    fast = _native_fast_struct(msg_class, text)
+    return F.when(_adv(text), parse_fields_native(msg_class, text)).otherwise(fast)
+
+
+def _native_fast_struct(msg_class: Column, text: Column) -> Column:
     pad = F.concat(F.lit(" "), text)
     odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
     is_router = msg_class == S.CLS_ROUTER

@@ -152,6 +152,49 @@ LOAD_KEYS = {
     "load_avg_15m": pat_float_suffix("load_avg_15m"),
 }
 
+# --- quote-aware pattern variants -------------------------------------------
+# The Go scanner tokenizes quotes FIRST (logfmt/scanner.go:10-149): a `key=`
+# sequence inside a quoted value is part of that value, never a key. The fast
+# patterns above anchor keys at whitespace/line-start, so they can only be
+# fooled by a quoted span that itself contains whitespace or '=' (a key match
+# needs a preceding space and a trailing '='). Rows are therefore dispatched:
+#
+#   safe rows  (no quoted span containing \s or '=') → fast patterns, which
+#              are PROVABLY identical to the scanner on those rows;
+#   adversarial rows → the same pattern behind a quote-parity prefix that
+#              only lets a match start after an EVEN number of quotes
+#              (every preceding quote is consumed as a balanced pair).
+#
+# Both forms are RE2-safe (no backreferences) and are consumed verbatim by
+# the pandas/Arrow parser, the java-regex native parsers, AND the DuckDB
+# oracle — the dispatch rule is part of the shared contract. Out of contract
+# (documented in tests/test_parse_fuzz.py): duplicate out-of-quote keys
+# (scanner last-wins, regex occurrence choice unspecified), lines with
+# escaped quotes (the odd-quote drop rule counts raw '"' bytes), and STRAY
+# quotes not immediately after '=' (the Go scanner treats those as garbage
+# and still extracts keys from inside them — inexpressible in RE2, which
+# has no lookbehind).
+# "some ="..." value span contains whitespace or '='" — anchored at the span
+# OPENER (quotes only open right after '=', per the grammar above) and
+# written so the content scan stops at the FIRST terminator: no backtracking
+# in java.util.regex, single linear pass in RE2. The naive
+# '"[^"]*[\s=][^"]*"' form cost native_fast +64% at sf0.1.
+ADVERSARIAL_RX = r'="[^"= \t]*[= \t]'
+QUOTE_PARITY_PREFIX = r'^(?:[^"]*"[^"]*")*[^"]*?'
+
+
+def quote_aware(pat: str) -> str:
+    return QUOTE_PARITY_PREFIX + pat
+
+
+ROUTER_INT_KEYS_QA = {k: quote_aware(p) for k, p in ROUTER_INT_KEYS.items()}
+PAT_ROUTER_PRESENT_QA = {k: quote_aware(p) for k, p in PAT_ROUTER_PRESENT.items()}
+PAT_CODE_QA = quote_aware(PAT_CODE)
+PAT_SOURCE_QA = quote_aware(PAT_SOURCE)
+MEM_FLOAT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_FLOAT_KEYS.items()}
+MEM_INT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_INT_KEYS.items()}
+LOAD_KEYS_QA = {k: quote_aware(p) for k, p in LOAD_KEYS.items()}
+
 # dynoError: code is EXACTLY the 2 bytes after "Error R" (dyno_msg.go:30-39);
 # Atoi of those 2 bytes → \d\d or sign+digit. (A <9-byte message panics in the
 # reference; we drop the row instead — documented divergence.)

@@ -39,8 +39,31 @@ UNKNOWN_HEROKU = "State changed from starting to up"
 UNKNOWN_USER = "hello from my app"
 CROSS_MEM_ON_ROUTER = "source=web.2 dyno=h.1.q sample#memory_total=64.00MB"  # router branch → all-zero point
 
+# --- adversarial quoted spans: a `key=` / bare key INSIDE a quoted value
+# must not be treated as a key (scanner tokenizes quotes first,
+# logfmt/scanner.go:10-149). NB the ` code=H` CLASSIFICATION sentinel is a
+# raw byte test in the reference (drain.go:135) — quote-blind by design —
+# so RERR_QUOTED_TRAP classifying as router_error is contract-correct;
+# only field EXTRACTION is quote-aware.
+RERR_QUOTED_TRAP = (
+    'at=error desc="injected code=H99 inside" code=H13 method=GET '
+    "dyno=web.9 status=503 sock=backend"
+)  # code must be H13, not the quoted H99
+ROUTER_QUOTED_TRAP = (
+    'at=info note="x status=999 y" method=GET path="/z" host=h request_id=r '
+    "dyno=web.7 connect=3ms service=5ms status=200 bytes=10"
+)  # status must be 200, not the quoted 999
+ROUTER_BARE_IN_QUOTES = (
+    'at=info note="has connect inside" method=GET path=/q host=h request_id=r '
+    "dyno=web.8 service=2ms status=201 bytes=1"
+)  # 'connect' only inside quotes → NOT present → kept with connect=0
+MEM_QUOTED_TRAP = (
+    'note="fake source=web.99 x" source=web.8 dyno=h.2.r sample#memory_total=64.00MB'
+)  # source must be web.8, not the quoted web.99
+
 C1 = "t.11111111-1111-4111-8111-111111111111"
 C2 = "t.22222222-2222-4222-8222-222222222222"
+C3 = "t.33333333-3333-4333-8333-333333333333"
 OVR = "t.99999999-9999-4999-8999-999999999999"
 
 
@@ -77,5 +100,10 @@ def tiny_rows():
         ("", 1, "heroku", ROUTER_OK, "router"),
         # missing conv_id BUT t.-prefixed role rescues the token
         (None, 2, OVR, ROUTER_OK, "router"),
+        # adversarial quoted spans (quote-aware extraction dispatch)
+        (C3, 0, "heroku", RERR_QUOTED_TRAP, "router"),
+        (C3, 1, "heroku", ROUTER_QUOTED_TRAP, "router"),
+        (C3, 2, "heroku", ROUTER_BARE_IN_QUOTES, "router"),
+        (C3, 3, "heroku", MEM_QUOTED_TRAP, "web.8"),
     ]
     return [(c, i, r, x, tl, T0 + 1000 * k) for k, (c, i, r, x, tl) in enumerate(rows)]

@@ -7,6 +7,15 @@ here as the engine's contract):
   * duplicate keys per line are out of grammar — the reference's streaming
     scanner is last-occurrence-wins while regex extraction is first-wins;
     real logplex messages never repeat a key;
+  * quoted values containing whitespace, '=', `key=` sequences, or bare key
+    words ARE in grammar since round 3: such rows dispatch to the
+    quote-parity patterns (schemas.quote_aware) and must match the scanner;
+  * every '"' must open/close a value span attached directly to its key
+    (`k="..."`). A quote NOT immediately after '=' is garbage to the Go
+    scanner (it happily extracts keys from inside such pseudo-quoted text,
+    e.g. `status= "sample#x=9"` yields key sample#x) — the quote-parity
+    model cannot express that without lookbehind (RE2 has none), so stray
+    quotes are out of grammar, like the lone-quote case above;
   * quoted values are well-formed ("..." fully terminated), except possibly
     ONE truncation at end-of-line ('desc="oops') — the engine's parse-error
     detection is the odd-quote-count rule, which matches the scanner exactly
@@ -30,7 +39,12 @@ _KEYS = ["method", "path", "host", "request_id", "fwd", "dyno",
 
 _tokens = st.sampled_from(["GET", "12ms", "200", "H12", "web.1", '"a b"',
                            "1.5MB", "", "x", "héllo",
-                           "12", "0.52", "...", '""', "-3"])
+                           "12", "0.52", "...", '""', "-3",
+                           # adversarial quoted spans: keys/values injected
+                           # INSIDE quotes must never be extracted as keys
+                           '"x status=999 y"', '"fake source=web.9"',
+                           '"has connect inside"', '"k=v"',
+                           '"sample#load_avg_1m=9.9"'])
 
 
 @st.composite
@@ -41,6 +55,8 @@ def _line(draw):
     for k in keys:
         v = draw(_tokens)
         sep = draw(st.sampled_from(["=", "= ", ""]))
+        if '"' in v:
+            sep = "="  # grammar: quotes open only immediately after '='
         parts.append(f"{k}{sep}{v}" if sep else k)
     prefix = draw(st.sampled_from(["", "Error R14 (out of memory)", "Error R1",
                                    "code=H10 "]))

@@ -56,11 +56,17 @@ def test_specific_policies(spark):
     # override row keyed by the OVERRIDING token, twice (one with null conv_id)
     assert sum(1 for (t, s, sv) in router if t == FX.OVR) == 2
 
+    # adversarial quoted spans: extraction is quote-aware
+    assert (FX.C3, 200, 5) in router  # quoted "status=999" ignored
+    assert (FX.C3, 201, 2) in router  # bare 'connect' inside quotes ≠ present
+
     ev = {(r["token"], r["code"]) for r in parse.sink_events_router(parsed).collect()}
     assert (FX.C1, "H12") in ev and (FX.C1, "H99") in ev  # empty-ints row KEPT
+    assert (FX.C3, "H13") in ev  # out-of-quote code wins over quoted code=H99
 
     mem = {r["source"]: r for r in parse.sink_dyno_mem(parsed).collect()}
-    assert set(mem) == {"web.2", "worker.7"}  # no-source row silently dropped
+    assert set(mem) == {"web.2", "worker.7", "web.8"}  # no-source row silently dropped
+    assert mem["web.8"]["memory_total"] == 64.0  # quoted source=web.99 ignored
     m = mem["web.2"]
     assert (m["memory_total"], m["memory_rss"], m["memory_cache"], m["memory_swap"]) == (372.51, 127.25, 0.0, 0.01)
     assert (m["memory_pgpgin"], m["memory_pgpgout"]) == (147395, 315153)
