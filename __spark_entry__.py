@@ -173,6 +173,12 @@ def _q_stale_tokens(spark, sf_dir):
     return aggregate.stale_tokens(parse.sink_dyno_load(p), parse.sink_dyno_mem(p))
 
 
+def _q_delivery_sizes(spark, sf_dir):
+    from lumbermill_spark import aggregate
+
+    return aggregate.delivery_size_rollup(_parsed(spark, sf_dir))
+
+
 def _q_batch_sizes(spark, sf_dir):
     from lumbermill_spark import aggregate, datagen, frames
 
@@ -327,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_sink_freshness": _q_sink_freshness,
         "lm_stale_tokens": _q_stale_tokens,
         "lm_batch_sizes": _q_batch_sizes,
+        "lm_delivery_sizes": _q_delivery_sizes,
         "lm_sessions": _q_sessions,
         "lm_top_tokens": _q_top_tokens,
         "lm_dyno_rollup": _q_dyno_rollup,
@@ -380,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_sink_freshness": O.sink_freshness(tp),
         "lm_stale_tokens": O.stale_tokens(tp),
         "lm_batch_sizes": O.batch_size_rollup(fp),
+        "lm_delivery_sizes": O.delivery_sizes(tp),
         "lm_sessions": O.sessions(tp, 300),
         "lm_top_tokens": O.top_tokens(tp, 10),
         "lm_dyno_rollup": O.dyno_type_rollup(tp),

@@ -184,6 +184,52 @@ def top_tokens(router_sink: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+DELIVERY_WINDOW_US = 1_000_000  # the poster's 1 s flush tick (poster.go:53)
+
+
+def delivery_size_rollup(parsed: DataFrame) -> DataFrame:
+    """poster.go:35-38 ``<sink>.deliver.sizes`` analog: distribution of points
+    per DELIVERY, where a delivery is one poster flush group — (sink series,
+    token, 1-second event-time bucket) — the deterministic batch replay of
+    'drain ≤1 s of channel, group by SeriesName()' (poster.go:62-82; series
+    name = <seriesName>.<token>, points.go:42-44).
+
+    ONE pass over the parsed frame (the sink label is a when-chain, not a
+    5-way union that would re-run the fenced parse UDF per branch); integer
+    µs floor-division bucketing (engine-portable, like router_rollup_windowed)
+    and exact percentiles over all deliveries (same policy as
+    batch_size_rollup). Completes SURVEY §2.1 #24's last sliver."""
+    perr = F.col("p.parse_error")
+    src = F.col("p.source")
+    mc = F.col("msg_class")
+    sink = (
+        F.when((mc == S.CLS_ROUTER) & ~perr, S.SINK_ROUTER)
+        .when((mc == S.CLS_ROUTER_ERROR) & ~perr, S.SINK_EVENTS_ROUTER)
+        .when((mc == S.CLS_DYNO_MEM) & ~perr & (src != ""), S.SINK_DYNO_MEM)
+        .when((mc == S.CLS_DYNO_LOAD) & ~perr & (src != ""), S.SINK_DYNO_LOAD)
+        .when((mc == S.CLS_DYNO_ERROR) & ~perr, S.SINK_EVENTS_DYNO)
+    )
+    sizes = (
+        parsed.select(sink.alias("sink"), "token", "time")
+        .filter(F.col("sink").isNotNull())
+        .withColumn(
+            "window_start_us",
+            (F.col("time") - F.col("time") % DELIVERY_WINDOW_US).cast("bigint"),
+        )
+        .groupBy("sink", "token", "window_start_us")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.groupBy("sink").agg(
+        F.count("*").alias("n_deliveries"),
+        F.round(F.avg("sz"), 6).alias("mean_sz"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        F.round(F.expr("percentile(sz, 0.5)"), 6).alias("p50_sz"),
+        F.round(F.expr("percentile(sz, 0.95)"), 6).alias("p95_sz"),
+        F.round(F.expr("percentile(sz, 0.99)"), 6).alias("p99_sz"),
+    )
+
+
 def batch_size_rollup(split_frames: DataFrame) -> DataFrame:
     """drain.go:46 ``lumbermill.batches.sizes`` — the frames-per-batch
     distribution. Exact percentiles over ALL batches instead of the

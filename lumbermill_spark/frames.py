@@ -60,7 +60,15 @@ def scan_stream(buf: bytes) -> tuple[list[tuple], bool]:
                 rem -= j + 1 - i
                 fields.append(buf[i:j].rstrip(b" ").decode("utf-8", "replace"))
                 i = j + 1
-            if rem < 0 or i + rem > n:
+            if rem < 0:
+                # reader.go:71-83 lets the byte budget go NEGATIVE when the
+                # declared length is shorter than the header: the frame is
+                # emitted with a nil payload and scanning continues from the
+                # current position — no error. truncated=True is reserved
+                # for genuine mid-frame EOF and missing delimiters.
+                out.append((*fields, ""))
+                continue
+            if i + rem > n:
                 return out, True
             payload = buf[i : i + rem]
             i += rem

@@ -349,6 +349,36 @@ FROM sizes
 """
 
 
+def delivery_sizes(path: str) -> str:
+    """poster.go:35-38 deliver.sizes replay: rows per (sink, token, 1-second
+    event-time bucket) → per-sink size distribution (aggregate.py analog)."""
+    src = _str_field(S.PAT_SOURCE)
+    return classified_cte(path) + f"""
+, u AS (
+  SELECT CASE
+      WHEN msg_class = 'router' AND NOT parse_error THEN 'router'
+      WHEN msg_class = 'router_error' AND NOT parse_error THEN 'events_router'
+      WHEN msg_class = 'dyno_mem' AND NOT parse_error AND {src} <> '' THEN 'dyno_mem'
+      WHEN msg_class = 'dyno_load' AND NOT parse_error AND {src} <> '' THEN 'dyno_load'
+      WHEN msg_class = 'dyno_error' AND NOT parse_error THEN 'events_dyno'
+    END AS sink, token, time
+  FROM p
+), d AS (
+  SELECT sink, token, time - (time % 1000000) AS window_start_us, count(*) AS sz
+  FROM u WHERE sink IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT sink,
+  CAST(count(*) AS BIGINT) AS n_deliveries,
+  round(avg(sz), 6) AS mean_sz,
+  CAST(min(sz) AS BIGINT) AS min_sz,
+  CAST(max(sz) AS BIGINT) AS max_sz,
+  round(quantile_cont(sz, 0.5), 6) AS p50_sz,
+  round(quantile_cont(sz, 0.95), 6) AS p95_sz,
+  round(quantile_cont(sz, 0.99), 6) AS p99_sz
+FROM d GROUP BY sink
+"""
+
+
 def sink_freshness(path: str) -> str:
     return classified_cte(path) + """
 SELECT token, max(time) AS latest_time

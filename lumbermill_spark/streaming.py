@@ -137,6 +137,37 @@ def conv_running_stats_stream(
     )
 
 
+def sink_freshness_stream(
+    spark: SparkSession,
+    input_dir: str,
+    parser: str = "pandas",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming twin of the health check's freshness data (http.go:129-150 +
+    aggregate.stale_tokens): per (token, dyno series) latest event time,
+    maintained INCREMENTALLY as micro-batches arrive instead of rescanning
+    the written sinks. Same parse → sink-projection path as batch (one code
+    path), then a complete-mode max() aggregation — state is exactly one row
+    per (token, series), the smallest possible streaming state."""
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    parsed = P.with_parsed(C.classify(stream), parser=parser)
+    load = (
+        P.sink_dyno_load(parsed)
+        .select("token", "time")
+        .withColumn("series", F.lit("dyno_load"))
+    )
+    mem = (
+        P.sink_dyno_mem(parsed)
+        .select("token", "time")
+        .withColumn("series", F.lit("dyno_mem"))
+    )
+    return (
+        load.unionByName(mem)
+        .groupBy("token", "series")
+        .agg(F.max("time").alias("latest_time"))
+    )
+
+
 def windowed_rollup_stream(
     spark: SparkSession,
     input_dir: str,

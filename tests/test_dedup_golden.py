@@ -106,3 +106,106 @@ def test_jaccard_expr_exact(spark):
     )
     (val,) = df.select(dedup.jaccard_expr(F.col("x"), F.col("y")).alias("j")).collect()[0]
     assert val == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Geometry goldens: dedup_embed_cosine and sim_ivf_topk replayed end-to-end
+# from the WRITTEN SPEC in pure python/numpy — importing no algorithm code
+# from lumbermill_spark.extras (the DuckDB oracle shares blocking constants
+# with the Spark side, so a shared algorithmic bug could pass both; this
+# leg cannot). Spec constants are intentionally re-stated literally.
+# ---------------------------------------------------------------------------
+
+EMBED_FIXTURE = "/root/testdata/sf0.001/embeddings.parquet"
+# spec: dedup.augmented_embeddings / similarity.topk_ivf parameters
+G_EXACT_MOD, G_EXACT_OFF = 7, 100_000
+G_NEAR_MOD, G_NEAR_OFF, G_PERTURB = 11, 200_000, 0.5
+G_CENTROIDS, G_NPROBE, G_TOPK, G_NQUERIES = 16, 2, 3, 24
+G_COS_THRESHOLD = 0.98
+
+
+def _load_vecs():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(EMBED_FIXTURE, columns=["vec_id", "embedding"])
+    return {
+        i: [float(x) for x in v]
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+
+def _seq_dot(a, b):
+    # sequential left-to-right fold — the evaluation order of Spark's
+    # F.aggregate, so values agree bit-for-bit (numpy's pairwise/SIMD
+    # summation would differ in the last ulp)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos(a, b):
+    import math
+
+    return _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+
+
+def _cells(v, cents, nprobe):
+    ranked = sorted(((_cos(v, cv), -cid) for cid, cv in cents.items()), reverse=True)
+    return [-negid for _, negid in ranked[:nprobe]]
+
+
+def test_embedding_cosine_pairs_matches_numpy_golden(spark):
+    V = _load_vecs()
+    aug = dict(V)
+    for i, v in V.items():
+        if i % G_EXACT_MOD == 0:
+            aug[i + G_EXACT_OFF] = list(v)
+        if i % G_NEAR_MOD == 0:
+            w = list(v)
+            w[0] += G_PERTURB
+            aug[i + G_NEAR_OFF] = w
+    cents = {i: aug[i] for i in range(G_CENTROIDS)}
+    cell_of = {i: set(_cells(v, cents, G_NPROBE)) for i, v in aug.items()}
+    ids = sorted(aug)
+    expect = {}
+    for xi, a in enumerate(ids):
+        for b in ids[xi + 1 :]:
+            if cell_of[a] & cell_of[b]:
+                c = _cos(aug[a], aug[b])
+                if c >= G_COS_THRESHOLD:
+                    expect[(a, b)] = c
+
+    embeds = spark.read.parquet(EMBED_FIXTURE)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_cosine_pairs(embeds).collect()  # augments internally
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - round(expect[k], 6)) < 2e-6, k
+
+
+def test_ivf_topk_matches_numpy_golden(spark):
+    from lumbermill_spark.extras import similarity
+
+    V = _load_vecs()
+    cents = {i: V[i] for i in range(G_CENTROIDS)}
+    cand_cell = {i: _cells(v, cents, 1)[0] for i, v in V.items()}
+    expect = {}
+    for q in range(G_NQUERIES):
+        probe = set(_cells(V[q], cents, G_NPROBE))
+        pool = [i for i, c in cand_cell.items() if c in probe and i != q]
+        ranked = sorted(((_cos(V[q], V[i]), -i) for i in pool), reverse=True)
+        for rank, (c, negid) in enumerate(ranked[:G_TOPK], start=1):
+            expect[(q, -negid)] = (rank, c)
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["score"])
+        for r in similarity.topk_ivf(spark.read.parquet(EMBED_FIXTURE)).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (rank, score) in got.items():
+        erank, ecos = expect[k]
+        assert rank == erank, k
+        assert abs(score - round(ecos, 6)) < 2e-6, k

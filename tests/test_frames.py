@@ -106,6 +106,20 @@ def test_scan_stream_truncated_body():
     assert truncated and len(out) == 1  # complete prefix kept
 
 
+def test_scan_stream_negative_budget_emits_empty_and_continues():
+    """reader.go lets the byte budget go negative when the declared length is
+    shorter than the header: frame emitted with nil payload, NO error, scan
+    continues (round-3 advice — truncated is reserved for real mid-frame
+    EOF)."""
+    good = _stream_frame("2025-01-01T00:00:01+00:00", "heroku", "router", BODY)
+    # declared length 2 < header byte count → budget goes negative
+    short = "2 <158>1 2025-01-01T00:00:00+00:00 host heroku router - "
+    out, truncated = frames.scan_stream((short + good).encode())
+    assert not truncated and len(out) == 2
+    assert out[0][6] == "" and out[0][3] == "heroku"  # nil payload, header kept
+    assert out[1][6] == BODY  # scan resumed cleanly on the next frame
+
+
 def test_scan_equals_split_on_fixture(spark):
     """The byte scanner over concatenated bodies must reproduce the regex
     split over one-frame-per-row exactly (same fixture rows)."""

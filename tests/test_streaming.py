@@ -90,6 +90,40 @@ def test_conv_running_stats_stateful(spark, stream_input, tmp_path):
     assert final == want
 
 
+def test_sink_freshness_stream_matches_batch(spark, stream_input, tmp_path):
+    """The incrementally-maintained freshness state (max time per token per
+    dyno series) drained via availableNow must equal the batch stale-tokens
+    truth (lm_stale_tokens), including the derived 24-min staleness flags."""
+    from lumbermill_spark import aggregate
+
+    q = (
+        streaming.sink_freshness_stream(spark, stream_input)
+        .writeStream.format("memory")
+        .queryName("freshness")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["token"], r["series"]): r["latest_time"]
+        for r in spark.sql("SELECT * FROM freshness").collect()
+    }
+
+    parsed = parse.with_parsed(classify.classify(spark.read.parquet(stream_input)))
+    want_rows = aggregate.stale_tokens(
+        parse.sink_dyno_load(parsed), parse.sink_dyno_mem(parsed)
+    ).collect()
+    want = {(r["token"], r["series"]): r["latest_time"] for r in want_rows}
+    assert got == want and len(got) > 0
+    # staleness flags agree when derived with the same as_of (dataset max)
+    as_of = max(got.values())
+    stale_want = {(r["token"], r["series"]): r["stale"] for r in want_rows}
+    for k, lt in got.items():
+        assert ((as_of - lt) > aggregate.STALE_TIMEOUT_MICROS) == stale_want[k], k
+
+
 def test_windowed_rollup_stream_matches_batch(spark, stream_input, tmp_path):
     """The streaming event-time windowed rollup (with watermark) drained via
     availableNow must equal the same windowed aggregation computed in batch
