@@ -167,7 +167,18 @@ def run(
 
     for ci, chunk in enumerate(chunks):
         chunk_id = "%s_%04d" % (run_id, ci)
-        df = spark.read.parquet(*chunk).withColumn("source_file", F.col("_metadata.file_path"))
+        # source_file is consumed ONLY by the summary aggregation and the
+        # lineage ledger — never by a sink — yet as a raw path string it is
+        # the widest column on the routing shuffle (~90 B/row vs the ~50 B
+        # everything-else-compressed). Dictionary-encode it to a small int
+        # against the chunk's own file list (driver-known, bounded by
+        # chunk_files at scale) and map back driver-side after the collect.
+        fid_map = F.create_map(
+            *[F.lit(x) for i, f in enumerate(chunk) for x in (f, i)]
+        )
+        df = spark.read.parquet(*chunk).withColumn(
+            "file_id", fid_map[F.col("_metadata.file_path")].cast("int")
+        )
         from . import classify as C
 
         classified = C.classify(df)
@@ -183,11 +194,31 @@ def run(
         # an order of magnitude with zero semantic change.
         parsed = parsed.withColumn(
             "text", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("text"))
+        ).withColumn(
+            # `tool` is likewise only consumed by the events_dyno sink
+            # (what=Procid + dyno_type, drain.go:177-188) — null it for the
+            # other ~97% of rows, same trick as text
+            "tool", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("tool"))
         )
-        keep = ["token", "time", "turn_idx", "tool", "text", "msg_class", "p", "bucket", "source_file"]
+        # turn_idx is consumed by nothing downstream of the parse except the
+        # salt lane — fold it into a 4-byte salt column and drop the rest
+        parsed = parsed.withColumn("salt", route.salt_expr(F.col("turn_idx"), cfg.n_salts))
+        keep = ["token", "time", "tool", "text", "msg_class", "p", "bucket", "file_id", "salt"]
         parsed = parsed.select(*[c for c in keep if c in parsed.columns])
         if cfg.route_shuffle:
-            parsed = route.salted_repartition(parsed, nshuffle, cfg.n_salts)
+            # encode msg_class (avg ~11-char string) as a tinyint below the
+            # exchange and decode with a when-chain above it — Catalyst's
+            # column pruning keeps the decode on the reduce side, so the
+            # shuffle carries 1 byte instead of offset+string per row
+            enc = F.lit(None).cast("tinyint")
+            dec = F.lit(None).cast("string")
+            for i, c in enumerate(S.ALL_CLASSES):
+                enc = F.when(F.col("msg_class") == c, i).otherwise(enc)
+                dec = F.when(F.col("cls_id") == i, c).otherwise(dec)
+            parsed = parsed.withColumn("cls_id", enc).drop("msg_class")
+            parsed = route.salted_repartition(parsed, nshuffle, salt=F.col("salt"))
+            parsed = parsed.withColumn("msg_class", dec).drop("cls_id")
+        parsed = parsed.drop("salt")
         # the cache exists for the fan-out (6 downstream consumers in parquet
         # mode); in noop mode the single fused aggregation is the only
         # consumer, and in rescan mode each sink re-parses its own class —
@@ -203,7 +234,7 @@ def run(
             # grouped result — the map-side partial agg keeps it one scan)
             summary = (
                 parsed.groupBy(
-                    "source_file",
+                    "file_id",
                     "msg_class",
                     F.col("p.parse_error").alias("perr"),
                     (F.col("p.source") == "").alias("src_empty"),
@@ -228,9 +259,8 @@ def run(
                     chunk_counts["logfmt_parse_error"] = (
                         chunk_counts.get("logfmt_parse_error", 0) + n
                     )
-                lineage_rows[(r["source_file"], mc)] = (
-                    lineage_rows.get((r["source_file"], mc), 0) + n
-                )
+                src_file = chunk[r["file_id"]]  # decode the dictionary id
+                lineage_rows[(src_file, mc)] = lineage_rows.get((src_file, mc), 0) + n
                 sink = sink_of.get(mc)
                 if sink and not r["perr"]:
                     if mc in (S.CLS_DYNO_MEM, S.CLS_DYNO_LOAD) and r["src_empty"]:

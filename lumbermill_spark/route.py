@@ -102,9 +102,16 @@ def salt_expr(turn_idx: Column, n_salts: int) -> Column:
     return F.pmod(F.hash(turn_idx), F.lit(n_salts))
 
 
-def salted_repartition(df: DataFrame, n_partitions: int, n_salts: int = 8) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, n_partitions: int, n_salts: int = 8, salt: Column | None = None
+) -> DataFrame:
     """Repartition on (token, salt): same token spreads over ≤ n_salts tasks,
     so one hot conversation can no longer saturate a single lane (the failure
     mode the reference answers with drop-on-overflow, destination.go:38-44).
+
+    ``salt`` lets the caller pass a pre-computed salt column when the source
+    of entropy (turn_idx) has already been pruned from the frame.
     """
-    return df.repartition(n_partitions, F.col("token"), salt_expr(F.col("turn_idx"), n_salts))
+    if salt is None:
+        salt = salt_expr(F.col("turn_idx"), n_salts)
+    return df.repartition(n_partitions, F.col("token"), salt)
