@@ -119,8 +119,38 @@ def _to_i32(vals: "pa.Array") -> np.ndarray:
     return pc.coalesce(f, pa.scalar(0, type=pa.int64())).to_numpy(zero_copy_only=False).astype(np.int32)
 
 
+def _router_perkey(sub: "pa.Array", adv: bool):
+    """Per-key router extraction over a slice → (status, service, err_add).
+    err_add carries the present-but-unparseable drops (router_msg.go:58-81)."""
+    n_int = _N_ROUTER_INT_QA if adv else _N_ROUTER_INT
+    n_present = S.PAT_ROUTER_PRESENT_QA if adv else S.PAT_ROUTER_PRESENT
+    st = sv = None
+    err = np.zeros(len(sub), dtype=bool)
+    for key in ("connect", "service", "status", "bytes"):
+        ext = pc.extract_regex(sub, n_int[key])
+        vals = pc.struct_field(ext, "v")
+        present = pc.match_substring_regex(sub, n_present[key]).to_numpy(zero_copy_only=False)
+        err |= present & pc.is_null(vals).to_numpy(zero_copy_only=False)
+        if key == "status":
+            st = _to_i32(vals)
+        elif key == "service":
+            sv = _to_i32(vals)
+    return st, sv, err
+
+
+def _kv_perkey(sub: "pa.Array", fdict: dict, idict: dict, src_pat: str):
+    """Per-key dyno_mem/dyno_load extraction → (source, {floats}, {ints})."""
+    src = _coalesced(sub, src_pat)
+    fl = {k: _to_f64(_ext(sub, pat)) for k, pat in fdict.items()}
+    iv = {k: _to_i32(_ext(sub, pat)) for k, pat in idict.items()}
+    return src, fl, iv
+
+
 @pandas_udf(S.PARSED_STRUCT)
-def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
+def parse_fields_udf(cls_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """First argument is the TINYINT schemas.CLS_ID code, not the class
+    string, and text arrives pre-nulled for never-parsed classes — both cut
+    the Arrow JVM→Python transfer (with_parsed does the encode/gate)."""
     n = len(text)
     status = np.zeros(n, dtype=np.int32)
     service = np.zeros(n, dtype=np.int32)
@@ -132,7 +162,7 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
     ints = {k: np.zeros(n, dtype=np.int32) for k in ("memory_pgpgin", "memory_pgpgout")}
     parse_error = np.zeros(n, dtype=bool)
 
-    cls = msg_class.to_numpy()
+    cls = cls_id.to_numpy()
     text_pa = pa.array(text.fillna(""), type=pa.string())
 
     def odd_quotes(sub):
@@ -147,36 +177,37 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
         return bool(pc.any(pc.match_substring_regex(sub, S.ADVERSARIAL_RX)).as_py())
 
     # --- router: 4 required ints; present-but-bad ⇒ drop
-    idx = np.flatnonzero(cls == S.CLS_ROUTER)
+    idx = np.flatnonzero(cls == S.CLS_ID[S.CLS_ROUTER])
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         err = odd_quotes(sub)
-        adv = has_adversarial(sub)
-        n_int = _N_ROUTER_INT_QA if adv else _N_ROUTER_INT
-        n_present = S.PAT_ROUTER_PRESENT_QA if adv else S.PAT_ROUTER_PRESENT
-        for key in ("connect", "service", "status", "bytes"):
-            ext = pc.extract_regex(sub, n_int[key])
-            vals = pc.struct_field(ext, "v")
-            present = pc.match_substring_regex(sub, n_present[key]).to_numpy(
-                zero_copy_only=False
-            )
-            bad = present & pc.is_null(vals).to_numpy(zero_copy_only=False)
-            err |= bad
-            if key == "status":
-                status[idx] = _to_i32(vals)
-            elif key == "service":
-                service[idx] = _to_i32(vals)
+        if has_adversarial(sub):
+            st, sv, e = _router_perkey(sub, True)
+            status[idx], service[idx] = st, sv
+            err |= e
+        else:
+            # single-pass canonical fast path (schemas.MEGA_ROUTER); rows the
+            # mega misses re-parse under the exact per-key patterns
+            m = pc.extract_regex(sub, S.MEGA_ROUTER)
+            hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
+            status[idx] = _to_i32(pc.struct_field(m, "status"))
+            service[idx] = _to_i32(pc.struct_field(m, "service"))
+            miss = np.flatnonzero(~hit)
+            if len(miss):
+                st, sv, e = _router_perkey(pc.take(sub, pa.array(miss)), False)
+                status[idx[miss]], service[idx[miss]] = st, sv
+                err[miss] |= e
         parse_error[idx] = err
 
     # --- router_error: code kept, ints swallowed
-    idx = np.flatnonzero(cls == S.CLS_ROUTER_ERROR)
+    idx = np.flatnonzero(cls == S.CLS_ID[S.CLS_ROUTER_ERROR])
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
         error_code[idx] = _coalesced(sub, _N_CODE_QA if has_adversarial(sub) else _N_CODE)
 
     # --- dyno_error: Atoi(text[7:9]) or drop
-    idx = np.flatnonzero(cls == S.CLS_DYNO_ERROR)
+    idx = np.flatnonzero(cls == S.CLS_ID[S.CLS_DYNO_ERROR])
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         code2 = pc.utf8_slice_codeunits(sub, 7, 9)
@@ -186,21 +217,40 @@ def parse_fields_udf(msg_class: pd.Series, text: pd.Series) -> pd.DataFrame:
         parse_error[idx] = ~ok
 
     # --- dyno_mem / dyno_load: errors swallowed to 0
-    for cname, fpair, ipair in (
-        (S.CLS_DYNO_MEM, (_N_MEM_FLOAT, _N_MEM_FLOAT_QA), (_N_MEM_INT, _N_MEM_INT_QA)),
-        (S.CLS_DYNO_LOAD, (_N_LOAD, _N_LOAD_QA), ({}, {})),
+    for cname, mega, fpair, ipair in (
+        (S.CLS_DYNO_MEM, S.MEGA_MEM, (_N_MEM_FLOAT, _N_MEM_FLOAT_QA), (_N_MEM_INT, _N_MEM_INT_QA)),
+        (S.CLS_DYNO_LOAD, S.MEGA_LOAD, (_N_LOAD, _N_LOAD_QA), ({}, {})),
     ):
-        idx = np.flatnonzero(cls == cname)
+        idx = np.flatnonzero(cls == S.CLS_ID[cname])
         if not len(idx):
             continue
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        adv = has_adversarial(sub)
-        source[idx] = _coalesced(sub, _N_SOURCE_QA if adv else _N_SOURCE)
-        for key, pat in (fpair[1] if adv else fpair[0]).items():
-            doubles[key][idx] = _to_f64(_ext(sub, pat))
-        for key, pat in (ipair[1] if adv else ipair[0]).items():
-            ints[key][idx] = _to_i32(_ext(sub, pat))
+        if has_adversarial(sub):
+            src, fl, iv = _kv_perkey(sub, fpair[1], ipair[1], _N_SOURCE_QA)
+            source[idx] = src
+            for k, v in fl.items():
+                doubles[k][idx] = v
+            for k, v in iv.items():
+                ints[k][idx] = v
+        else:
+            # source sits at the line head, the sample values in the
+            # canonical tail — one per-key source extract for the slice plus
+            # ONE tail extract replaces the 5-7 per-key value passes
+            source[idx] = _coalesced(sub, _N_SOURCE)
+            m = pc.extract_regex(sub, mega)
+            hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
+            for k in fpair[0]:
+                doubles[k][idx] = _to_f64(pc.struct_field(m, k))
+            for k in ipair[0]:
+                ints[k][idx] = _to_i32(pc.struct_field(m, k))
+            miss = np.flatnonzero(~hit)
+            if len(miss):
+                sub2 = pc.take(sub, pa.array(miss))
+                for k, pat in fpair[0].items():
+                    doubles[k][idx[miss]] = _to_f64(_ext(sub2, pat))
+                for k, pat in ipair[0].items():
+                    ints[k][idx[miss]] = _to_i32(_ext(sub2, pat))
 
     return pd.DataFrame(
         {
@@ -454,7 +504,15 @@ _parse_fields_once = parse_fields_udf.asNondeterministic()
 def with_parsed(df: DataFrame, parser: str = "pandas") -> DataFrame:
     """classified df → + ``p`` struct column (one parse pass, both variants)."""
     if parser == "pandas":
-        p = _parse_fields_once(F.col("msg_class"), F.col("text"))
+        # encode the class as its tinyint code and null the text for classes
+        # the parser never reads (~14% of rows): the class strings and the
+        # unread text would otherwise cross the Arrow JVM→Python boundary as
+        # real bytes; nulls are a validity bit
+        cid = F.lit(None).cast("tinyint")
+        for c, i in S.CLS_ID.items():
+            cid = F.when(F.col("msg_class") == c, i).otherwise(cid)
+        gated = F.when(F.col("msg_class").isin(S.PARSED_CLASSES), F.col("text"))
+        p = _parse_fields_once(cid, gated)
     elif parser == "native":
         p = parse_fields_native(F.col("msg_class"), F.col("text"))
     elif parser == "native_fast":

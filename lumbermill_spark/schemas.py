@@ -67,6 +67,11 @@ ALL_CLASSES = [
 # logfmt-parse-error drop, drain.go:69-72).
 PARSED_CLASSES = [CLS_ROUTER, CLS_ROUTER_ERROR, CLS_DYNO_ERROR, CLS_DYNO_MEM, CLS_DYNO_LOAD]
 
+# Canonical msg_class ↔ tinyint code, used wherever the class string would
+# otherwise cross a byte-counted boundary (the routing shuffle, the Arrow
+# JVM→Python transfer into the parse UDF).
+CLS_ID = {c: i for i, c in enumerate(ALL_CLASSES)}
+
 # Sentinels (router_msg.go:23-25, dyno_msg.go:21-23). Byte-for-byte.
 SENTINEL_CODE_H = " code=H"
 SENTINEL_CODE_BLANK = " code=blank-app"
@@ -194,6 +199,48 @@ PAT_SOURCE_QA = quote_aware(PAT_SOURCE)
 MEM_FLOAT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_FLOAT_KEYS.items()}
 MEM_INT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_INT_KEYS.items()}
 LOAD_KEYS_QA = {k: quote_aware(p) for k, p in LOAD_KEYS.items()}
+
+# --- canonical-tail mega patterns (single-pass fast path) --------------------
+# One RE2 pass that extracts every value field of a class at once, applicable
+# when the line ends with the producer's canonical key run (router.go /
+# lpxgen/heroku.go emit fixed layouts; any real logfmt producer has a fixed
+# key order per call site). Dispatch in the pandas parser:
+#
+#   adversarial slice → per-key QA patterns (unchanged);
+#   safe slice        → ONE mega extract; rows where it matches take its
+#                       groups, rows where it does not fall back to the
+#                       per-key fast patterns (row-level fallback).
+#
+# Equivalence argument (why a mega HIT always equals the per-key result): the
+# value charsets and boundaries are copied verbatim from pat_int/pat_*_suffix
+# (the literal inter-key space satisfies both the trailing `(?:\s|$)` and the
+# next key's `(?:^|\s)` anchor), and out-of-quote keys are unique in the
+# grammar contract (duplicates are documented out-of-contract in
+# tests/test_parse_fuzz.py), so the end-anchored occurrence IS the first
+# occurrence. A mega MISS changes nothing: the row re-parses under the exact
+# per-key patterns. Why end-anchored and literal-prefixed instead of a
+# `(?:\S+ )*?` filler / `[^\s=]*` suffix-match: those generic forms knock RE2
+# off its one-pass capture engine — measured 376 ms vs 63 ms per 100k router
+# lines for the SAME hit set; the strict form misses more rows (e.g. a
+# non-`sample#` key prefix), but a miss only costs the fallback.
+_FLOAT_V = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+MEGA_ROUTER = (
+    r" connect=(?P<connect>[+-]?\d+)ms service=(?P<service>[+-]?\d+)ms"
+    r" status=(?P<status>[+-]?\d+) bytes=(?P<bytes>[+-]?\d+)$"
+)
+MEGA_MEM = (
+    r" sample#memory_total=(?P<memory_total>" + _FLOAT_V + r")MB"
+    r" sample#memory_rss=(?P<memory_rss>" + _FLOAT_V + r")MB"
+    r" sample#memory_cache=(?P<memory_cache>" + _FLOAT_V + r")MB"
+    r" sample#memory_swap=(?P<memory_swap>" + _FLOAT_V + r")MB"
+    r" sample#memory_pgpgin=(?P<memory_pgpgin>[+-]?\d+)pages"
+    r" sample#memory_pgpgout=(?P<memory_pgpgout>[+-]?\d+)pages$"
+)
+MEGA_LOAD = (
+    r" sample#load_avg_1m=(?P<load_avg_1m>" + _FLOAT_V + r")"
+    r" sample#load_avg_5m=(?P<load_avg_5m>" + _FLOAT_V + r")"
+    r" sample#load_avg_15m=(?P<load_avg_15m>" + _FLOAT_V + r")$"
+)
 
 # dynoError: code is EXACTLY the 2 bytes after "Error R" (dyno_msg.go:30-39);
 # Atoi of those 2 bytes → \d\d or sign+digit. (A <9-byte message panics in the
