@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import ArrowUDFType, arrow_udf, pandas_udf
 
 from . import schemas as S
 
@@ -146,11 +146,16 @@ def _kv_perkey(sub: "pa.Array", fdict: dict, idict: dict, src_pat: str):
     return src, fl, iv
 
 
-@pandas_udf(S.PARSED_STRUCT)
-def parse_fields_udf(cls_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+@arrow_udf(S.PARSED_STRUCT, ArrowUDFType.SCALAR)
+def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
     """First argument is the TINYINT schemas.CLS_ID code, not the class
     string, and text arrives pre-nulled for never-parsed classes — both cut
-    the Arrow JVM→Python transfer (with_parsed does the encode/gate)."""
+    the Arrow JVM→Python transfer (with_parsed does the encode/gate).
+
+    An *arrow_udf* (Spark 4.1), not a pandas_udf: the batch stays a
+    pyarrow.Array end-to-end, skipping the Arrow→pandas(object)→Arrow
+    round-trip a pandas_udf imposes on string columns (measured ~2.8 µs/row
+    → ~1 µs/row for the same extraction work)."""
     n = len(text)
     status = np.zeros(n, dtype=np.int32)
     service = np.zeros(n, dtype=np.int32)
@@ -162,8 +167,8 @@ def parse_fields_udf(cls_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     ints = {k: np.zeros(n, dtype=np.int32) for k in ("memory_pgpgin", "memory_pgpgout")}
     parse_error = np.zeros(n, dtype=bool)
 
-    cls = cls_id.to_numpy()
-    text_pa = pa.array(text.fillna(""), type=pa.string())
+    cls = cls_id.to_numpy(zero_copy_only=False)
+    text_pa = pc.coalesce(text, pa.scalar("", type=text.type))
 
     def odd_quotes(sub):
         return (
@@ -252,25 +257,24 @@ def parse_fields_udf(cls_id: pd.Series, text: pd.Series) -> pd.DataFrame:
                 for k, pat in ipair[0].items():
                     ints[k][idx[miss]] = _to_i32(_ext(sub2, pat))
 
-    return pd.DataFrame(
-        {
-            "status": status,
-            "service": service,
-            "error_code": error_code,
-            "dyno_ecode": dyno_ecode,
-            "source": source,
-            "memory_cache": doubles["memory_cache"],
-            "memory_pgpgin": ints["memory_pgpgin"],
-            "memory_pgpgout": ints["memory_pgpgout"],
-            "memory_rss": doubles["memory_rss"],
-            "memory_swap": doubles["memory_swap"],
-            "memory_total": doubles["memory_total"],
-            "load_avg_1m": doubles["load_avg_1m"],
-            "load_avg_5m": doubles["load_avg_5m"],
-            "load_avg_15m": doubles["load_avg_15m"],
-            "parse_error": parse_error,
-        }
-    )
+    cols = {
+        "status": pa.array(status),
+        "service": pa.array(service),
+        "error_code": pa.array(error_code, type=pa.string()),
+        "dyno_ecode": pa.array(dyno_ecode),
+        "source": pa.array(source, type=pa.string()),
+        "memory_cache": pa.array(doubles["memory_cache"]),
+        "memory_pgpgin": pa.array(ints["memory_pgpgin"]),
+        "memory_pgpgout": pa.array(ints["memory_pgpgout"]),
+        "memory_rss": pa.array(doubles["memory_rss"]),
+        "memory_swap": pa.array(doubles["memory_swap"]),
+        "memory_total": pa.array(doubles["memory_total"]),
+        "load_avg_1m": pa.array(doubles["load_avg_1m"]),
+        "load_avg_5m": pa.array(doubles["load_avg_5m"]),
+        "load_avg_15m": pa.array(doubles["load_avg_15m"]),
+        "parse_error": pa.array(parse_error),
+    }
+    return pa.StructArray.from_arrays(list(cols.values()), names=list(cols.keys()))
 
 
 # ---------------------------------------------------------------------------
