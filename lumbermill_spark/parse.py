@@ -97,17 +97,20 @@ def _ext(arr: "pa.Array", pat: str, field: str = "v") -> "pa.Array":
     return pc.struct_field(pc.extract_regex(arr, pat), field)
 
 
-def _coalesced(arr: "pa.Array", pat: str) -> np.ndarray:
-    """Quoted-or-bare string value. RE2 leaves non-participating alternation
-    groups as '' (not null), so the rule is 'quoted group if non-empty, else
-    bare group' — identical to the native parser's when(g1 != '', g1) and the
-    DuckDB oracle's CASE (all three agree, including on quoted-empty → '')."""
-    s = pc.extract_regex(arr, pat)
+def _qb(s: "pa.Array") -> "pa.Array":
+    """Quoted-or-bare value from an extract struct with (q, b) groups. RE2
+    leaves non-participating alternation groups as '' (not null), so the rule
+    is 'quoted group if non-empty, else bare group' — identical to the native
+    parser's when(g1 != '', g1) and the DuckDB oracle's CASE (all three
+    agree, including on quoted-empty → '')."""
     q = pc.struct_field(s, "q")
     b = pc.struct_field(s, "b")
     out = pc.if_else(pc.not_equal(q, ""), q, b)
-    out = pc.coalesce(out, pa.scalar("", type=pa.string()))
-    return out.to_numpy(zero_copy_only=False)
+    return pc.coalesce(out, pa.scalar("", type=pa.string()))
+
+
+def _coalesced(arr: "pa.Array", pat: str) -> "pa.Array":
+    return _qb(pc.extract_regex(arr, pat))
 
 
 def _to_f64(vals: "pa.Array") -> np.ndarray:
@@ -159,13 +162,16 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
     n = len(text)
     status = np.zeros(n, dtype=np.int32)
     service = np.zeros(n, dtype=np.int32)
-    error_code = np.full(n, "", dtype=object)
     dyno_ecode = np.zeros(n, dtype=np.int32)
-    source = np.full(n, "", dtype=object)
     doubles = {k: np.zeros(n) for k in ("memory_cache", "memory_rss", "memory_swap",
                                         "memory_total", "load_avg_1m", "load_avg_5m", "load_avg_15m")}
     ints = {k: np.zeros(n, dtype=np.int32) for k in ("memory_pgpgin", "memory_pgpgout")}
     parse_error = np.zeros(n, dtype=bool)
+    # string outputs stay Arrow: (row-mask, slice values) pairs are folded
+    # into a full-length array with replace_with_mask at the end — no
+    # object-dtype scatter + per-element re-conversion
+    ec_scatter: list = []
+    src_scatter: list = []
 
     cls = cls_id.to_numpy(zero_copy_only=False)
     text_pa = pc.coalesce(text, pa.scalar("", type=text.type))
@@ -209,7 +215,17 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        error_code[idx] = _coalesced(sub, _N_CODE_QA if has_adversarial(sub) else _N_CODE)
+        # head-anchored canonical fast path (schemas.MEGA_ROUTER_ERROR);
+        # misses re-dispatch through the adversarial/fast per-key pair
+        m = pc.extract_regex(sub, S.MEGA_ROUTER_ERROR)
+        hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        code_vals = _qb(m)
+        miss = np.flatnonzero(~hit)
+        if len(miss):
+            sub2 = pc.take(sub, pa.array(miss))
+            fb = _coalesced(sub2, _N_CODE_QA if has_adversarial(sub2) else _N_CODE)
+            code_vals = pc.replace_with_mask(code_vals, pa.array(~hit), fb)
+        ec_scatter.append((idx, code_vals))
 
     # --- dyno_error: Atoi(text[7:9]) or drop
     idx = np.flatnonzero(cls == S.CLS_ID[S.CLS_DYNO_ERROR])
@@ -233,7 +249,7 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
         parse_error[idx] = odd_quotes(sub)
         if has_adversarial(sub):
             src, fl, iv = _kv_perkey(sub, fpair[1], ipair[1], _N_SOURCE_QA)
-            source[idx] = src
+            src_scatter.append((idx, src))
             for k, v in fl.items():
                 doubles[k][idx] = v
             for k, v in iv.items():
@@ -242,7 +258,7 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
             # source sits at the line head, the sample values in the
             # canonical tail — one per-key source extract for the slice plus
             # ONE tail extract replaces the 5-7 per-key value passes
-            source[idx] = _coalesced(sub, _N_SOURCE)
+            src_scatter.append((idx, _coalesced(sub, _N_SOURCE)))
             m = pc.extract_regex(sub, mega)
             hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
             for k in fpair[0]:
@@ -257,12 +273,21 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
                 for k, pat in ipair[0].items():
                     ints[k][idx[miss]] = _to_i32(_ext(sub2, pat))
 
+    def _assemble(pairs):
+        typ = pairs[0][1].type if pairs else pa.string()
+        out = pc.fill_null(pa.nulls(n, typ), "")
+        for rows, vals in pairs:
+            mask = np.zeros(n, dtype=bool)
+            mask[rows] = True
+            out = pc.replace_with_mask(out, pa.array(mask), vals)
+        return pc.cast(out, pa.string())
+
     cols = {
         "status": pa.array(status),
         "service": pa.array(service),
-        "error_code": pa.array(error_code, type=pa.string()),
+        "error_code": _assemble(ec_scatter),
         "dyno_ecode": pa.array(dyno_ecode),
-        "source": pa.array(source, type=pa.string()),
+        "source": _assemble(src_scatter),
         "memory_cache": pa.array(doubles["memory_cache"]),
         "memory_pgpgin": pa.array(ints["memory_pgpgin"]),
         "memory_pgpgout": pa.array(ints["memory_pgpgout"]),

@@ -228,6 +228,13 @@ MEGA_ROUTER = (
     r" connect=(?P<connect>[+-]?\d+)ms service=(?P<service>[+-]?\d+)ms"
     r" status=(?P<status>[+-]?\d+) bytes=(?P<bytes>[+-]?\d+)$"
 )
+# Head-anchored router_error fast path: canonical lines open `at=error
+# code=...` (router.go error emit). Requiring the first token quote-FREE
+# makes the code= occurrence provably even-quote-parity AND first — i.e.
+# exactly what the quote-aware per-key pattern would select — without the
+# parity-prefix crawl (measured 77 ms → 5 ms per 15k rows). Misses fall
+# back to the QA/fast per-key dispatch.
+MEGA_ROUTER_ERROR = r'^at=[^\s"]+ code=(?:"(?P<q>[^"]*)"|(?P<b>[^\s"]*))'
 MEGA_MEM = (
     r" sample#memory_total=(?P<memory_total>" + _FLOAT_V + r")MB"
     r" sample#memory_rss=(?P<memory_rss>" + _FLOAT_V + r")MB"
