@@ -61,6 +61,22 @@ MEM_QUOTED_TRAP = (
     'note="fake source=web.99 x" source=web.8 dyno=h.2.r sample#memory_total=64.00MB'
 )  # source must be web.8, not the quoted web.99
 
+# --- canonical-tail fast-path boundary (schemas.MEGA_*): rows the mega
+# pattern must MISS and hand to the per-key fallback with identical results
+ROUTER_SHUFFLED = (
+    "at=info method=GET path=/s host=h request_id=r dyno=web.10 "
+    "status=418 bytes=7 connect=2ms service=9ms"
+)  # keys out of canonical order → mega miss, kept via per-key (418/9)
+ROUTER_TRAILING = ROUTER_OK.replace("bytes=512", "bytes=512 protocol=https")
+# token after bytes → end-anchor miss, kept via per-key (200/42)
+MEM_ODD_PREFIX = (
+    "source=web.11 dyno=h.3.s sample#memory_total=33.00MB "
+    "other#memory_rss=11.00MB"
+)  # non-'sample#' rss prefix → literal tail miss; suffix-match fallback → 33/11
+RERR_NOT_HEAD = (
+    'junk=1 at=error code=H18 desc="Server Request Interrupted" dyno=web.12 status=503'
+)  # code not in head-anchored position → per-key fallback, code=H18
+
 C1 = "t.11111111-1111-4111-8111-111111111111"
 C2 = "t.22222222-2222-4222-8222-222222222222"
 C3 = "t.33333333-3333-4333-8333-333333333333"
@@ -105,5 +121,12 @@ def tiny_rows():
         (C3, 1, "heroku", ROUTER_QUOTED_TRAP, "router"),
         (C3, 2, "heroku", ROUTER_BARE_IN_QUOTES, "router"),
         (C3, 3, "heroku", MEM_QUOTED_TRAP, "web.8"),
+        # canonical-tail fast-path misses → per-key fallback equivalence.
+        # (MEM_ODD_PREFIX lives in test_mega_fallback_suffix_keys instead:
+        # suffix-matched keys with a non-canonical prefix are outside
+        # native_fast's declared grammar.)
+        (C3, 4, "heroku", ROUTER_SHUFFLED, "router"),
+        (C3, 5, "heroku", ROUTER_TRAILING, "router"),
+        (C3, 7, "heroku", RERR_NOT_HEAD, "router"),
     ]
     return [(c, i, r, x, tl, T0 + 1000 * k) for k, (c, i, r, x, tl) in enumerate(rows)]

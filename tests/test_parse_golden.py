@@ -40,6 +40,20 @@ def test_sinks_match_oracle(spark, parser):
     assert got_counts["logfmt_parse_error"] == exp_counters.get("logfmt_parse_error", 0)
 
 
+@pytest.mark.parametrize("parser", ["pandas", "native"])
+def test_mega_fallback_suffix_keys(spark, parser):
+    """A suffix-matched key with a non-canonical prefix must MISS the literal
+    canonical-tail fast path (schemas.MEGA_MEM) and fall back to the
+    suffix-match per-key patterns — outside native_fast's declared grammar,
+    so only the two full-suffix-match parsers are pinned here."""
+    from tests import fixtures as FX
+
+    df = make_transcripts_df(spark, [(FX.C3, 0, "heroku", FX.MEM_ODD_PREFIX, "web.11", FX.T0)])
+    parsed = parse.with_parsed(classify.classify(df), parser=parser)
+    (row,) = parse.sink_dyno_mem(parsed).collect()
+    assert (row["source"], row["memory_total"], row["memory_rss"]) == ("web.11", 33.0, 11.0)
+
+
 def test_specific_policies(spark):
     """Spot-check the asymmetric error policies directly (FIXTURES.md §2)."""
     from tests import fixtures as FX
