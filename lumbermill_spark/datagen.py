@@ -271,7 +271,7 @@ _CLASS_MIX = [
 ]
 
 
-def generate_transcripts(sf: float, seed: int = SEED) -> "pa.Table":
+def generate_transcripts(sf: float, seed: int = SEED, ts_offset_us: int = 0) -> "pa.Table":
     n = max(2000, int(TURNS_PER_SF * sf))
     rng = np.random.default_rng([seed, int(round(sf * 100000))])
 
@@ -326,7 +326,10 @@ def generate_transcripts(sf: float, seed: int = SEED) -> "pa.Table":
 
     # --- text and timestamps
     text = _gen_texts(rng, cls, n)
-    ts_us = BASE_EPOCH_US + np.arange(n, dtype=np.int64) * 50_000 + rng.integers(0, 50_000, size=n)
+    ts_us = (
+        BASE_EPOCH_US + ts_offset_us + np.arange(n, dtype=np.int64) * 50_000
+        + rng.integers(0, 50_000, size=n)
+    )
 
     return pa.table(
         {
@@ -470,10 +473,48 @@ def dims_path(name: str) -> str:
     return os.path.join(data_dir(), "dim_%s.parquet" % name)
 
 
-def ensure_transcripts(sf: float) -> str:
+# Above this sf, transcripts are generated as a DIRECTORY of part files,
+# each produced independently (own chunk-keyed RNG stream, own ts offset so
+# event time stays monotone across parts) — bounded memory at any sf, and
+# the part files are what the pipeline's chunk_files/resume machinery
+# actually operates on. Chunk size is pinned so the output is a pure
+# function of sf, never of worker count or scheduling.
+CHUNKED_MIN_SF = 2.0
+CHUNK_SF = 0.25  # 5M turns per part file
+
+
+def _gen_transcript_chunk(args: tuple) -> str:
+    sf_part, chunk_idx, path = args
+    if not os.path.exists(path):
+        t = generate_transcripts(
+            sf_part,
+            seed=SEED + 7919 * (chunk_idx + 1),
+            ts_offset_us=int(chunk_idx * TURNS_PER_SF * sf_part) * 50_000,
+        )
+        _write_atomic(t, path)
+    return path
+
+
+def ensure_transcripts(sf: float, workers: int | None = None) -> str:
     p = transcripts_path(sf)
-    if not os.path.exists(p):
+    if os.path.exists(p):
+        return p
+    if sf < CHUNKED_MIN_SF:
         _write_atomic(generate_transcripts(sf), p)
+        return p
+    from concurrent.futures import ProcessPoolExecutor
+
+    n_chunks = int(round(sf / CHUNK_SF))
+    assert abs(n_chunks * CHUNK_SF - sf) < 1e-9, "sf must be a multiple of CHUNK_SF"
+    tmp = p + ".tmpdir"
+    os.makedirs(tmp, exist_ok=True)
+    jobs = [
+        (CHUNK_SF, i, os.path.join(tmp, "part-%05d.parquet" % i)) for i in range(n_chunks)
+    ]
+    workers = workers or min(16, os.cpu_count() or 4)
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_gen_transcript_chunk, jobs))
+    os.replace(tmp, p)
     return p
 
 
