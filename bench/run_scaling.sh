@@ -25,6 +25,7 @@ run_one() {
     --conf "spark.sql.shuffle.partitions=${cores}" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.files.maxPartitionBytes=8m \
+    --conf spark.shuffle.sort.bypassMergeThreshold=1 \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.ansi.enabled=false \

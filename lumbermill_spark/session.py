@@ -52,6 +52,16 @@ def get_spark(
         # cluster with 10^12 rows use 128m — the same multiple-of-total-cores
         # rule, different absolute size.
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # Force the sort-based shuffle writer. With ≤200 reduce partitions
+        # (any local run) Spark picks BypassMergeSortShuffleWriter, which
+        # opens one file PER REDUCE PARTITION per map task and then
+        # merge-copies them — 640 map tasks × 128 partitions at sf10 turned
+        # a 6.9 GB routing shuffle into 82k small files + a second full copy
+        # (measured: 309 s → 74 s wall at sf10/local[32] with the sort
+        # writer). A real cluster runs thousands of reduce partitions, where
+        # the sort writer is what executes anyway — this pin makes local
+        # behavior match cluster behavior instead of an accident of scale.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.driver.memory", os.environ.get("LUMBERMILL_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
