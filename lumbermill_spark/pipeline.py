@@ -128,18 +128,24 @@ def run(
         .select(F.col("_metadata.file_path").alias("source_file"))
         .distinct()
     )
+    sink_writer = sink_mod.make_sink(spark, cfg.sink_format, cfg.n_buckets)
     if resume:
-        if cfg.sink_format == "iceberg":
-            # FS-level orphan cleanup cannot remove rows committed to Iceberg
-            # tables — resuming would silently degrade to at-least-once.
-            # Needs snapshot rollback / DELETE WHERE chunk_id through the
-            # catalog; rejected loudly until that exists (round-3 advice).
-            raise NotImplementedError(
-                "resume with sink_format='iceberg' is not supported: orphan "
-                "cleanup requires Iceberg DELETE/rollback, not FS deletes. "
-                "Use sink_format='parquet' for resumable runs."
-            )
-        orphans = lin.cleanup_orphans(spark, out_dir)  # drop partial chunks BEFORE redoing
+        # drop partial chunks BEFORE redoing — the exactly-once undo.
+        # FS plane (ledger + parquet sinks/metrics): prefix globs + deletes.
+        orphans = lin.cleanup_orphans(spark, out_dir)
+        if not sink_writer.fs_managed:
+            # catalog-table sinks (Iceberg): rows committed by a crashed
+            # chunk are invisible to FS globs — remove them with the sink's
+            # own transactional DELETE, per table, for every chunk_id that
+            # has data but no .done marker (round-3 advice, medium)
+            done = lin.done_chunk_ids(spark, out_dir)
+            for tbl_path in [_sink_dir(out_dir, s) for s in S.ALL_SINKS] + [
+                os.path.join(out_dir, "metrics", m)
+                for m in ("class_counts", "router_error_codes", "router_rollup")
+            ]:
+                for cid in sorted(sink_writer.list_chunk_ids(spark, tbl_path) - done):
+                    sink_writer.delete_chunk(spark, tbl_path, cid)
+                    orphans.append(f"{tbl_path}#chunk_id={cid}")
         if orphans:
             print(f"[pipeline] resume: removed {len(orphans)} orphan chunk partition(s)")
         done_df = lin.completed_files_df(spark, out_dir)
@@ -152,8 +158,6 @@ def run(
     files = sorted(r["source_file"] for r in src_files.collect())
     chunk_size = cfg.chunk_files or max(len(files), 1)
     chunks = [files[i : i + chunk_size] for i in range(0, len(files), chunk_size)] if files else []
-
-    sink_writer = sink_mod.make_sink(spark, cfg.sink_format, cfg.n_buckets)
     dims = enrich_mod.load_dims(spark) if cfg.enrich else None
     totals: dict[str, int] = {k: 0 for k in S.ALL_SINKS}
     cls_totals: dict[str, int] = {}

@@ -33,6 +33,12 @@ from . import fsio
 class Sink:
     """Append one chunk's rows for one logical sink table."""
 
+    # True when chunk data lives under out_dir on a (Hadoop-)filesystem and
+    # lineage.cleanup_orphans' FS globs can see and delete it. False for
+    # catalog-table sinks, where resume must go through delete_chunk /
+    # list_chunk_ids instead (FS deletes cannot undo table commits).
+    fs_managed = True
+
     def write(self, df: DataFrame, path: str, chunk_id: str, bucket_col: str | None) -> None:
         raise NotImplementedError
 
@@ -45,6 +51,15 @@ class Sink:
         rows would crash the metrics step (round-3 advice, high). Metrics
         read-back must come through this seam, never a raw path read."""
         return None
+
+    def list_chunk_ids(self, spark, path: str) -> set[str]:
+        """chunk_ids with any rows/partitions present for this sink table."""
+        return set()
+
+    def delete_chunk(self, spark, path: str, chunk_id: str) -> bool:
+        """Remove every row the chunk wrote — the exactly-once undo used by
+        resume's orphan cleanup. Returns True when something was removed."""
+        return False
 
 
 class NoopSink(Sink):
@@ -65,6 +80,19 @@ class ParquetSink(Sink):
         if not fsio.exists(spark, part):
             return None
         return spark.read.parquet(part)
+
+    def list_chunk_ids(self, spark, path: str) -> set[str]:
+        return {
+            p.rsplit("chunk_id=", 1)[1].strip("/")
+            for p in fsio.glob(spark, path.rstrip("/") + "/chunk_id=*")
+        }
+
+    def delete_chunk(self, spark, path: str, chunk_id: str) -> bool:
+        part = path.rstrip("/") + f"/chunk_id={chunk_id}"
+        if not fsio.exists(spark, part):
+            return False
+        fsio.delete(spark, part, recursive=True)
+        return True
 
 
 class IcebergSink(Sink):
@@ -125,6 +153,26 @@ class IcebergSink(Sink):
             return None
         df = spark.table(table).filter(F.col("chunk_id") == chunk_id)
         return df
+
+    fs_managed = False
+
+    def list_chunk_ids(self, spark, path: str) -> set[str]:
+        table = self._table(self.sink_name_of(path))
+        if not spark.catalog.tableExists(table):
+            return set()
+        rows = spark.sql(f"SELECT DISTINCT chunk_id FROM {table}").collect()
+        return {r["chunk_id"] for r in rows}
+
+    def delete_chunk(self, spark, path: str, chunk_id: str) -> bool:
+        """Iceberg row-level DELETE — the table-commit analog of removing a
+        parquet chunk partition. chunk_id is a plain column, so this is a
+        copy-on-write/merge-on-read delete, transactional either way; resume
+        stays exactly-once because the delete lands BEFORE reprocessing."""
+        table = self._table(self.sink_name_of(path))
+        if not spark.catalog.tableExists(table):
+            return False
+        spark.sql(f"DELETE FROM {table} WHERE chunk_id = '{chunk_id}'")
+        return True
 
 
 def make_sink(spark, sink_format: str, n_buckets: int = 16) -> Sink:

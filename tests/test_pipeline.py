@@ -116,10 +116,12 @@ def test_resume_antijoin_many_files(spark, small_input, tmp_path):
     assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == res.sink_rows["router"]
 
 
-def test_iceberg_resume_rejected(spark, small_input, tmp_path):
-    """FS orphan cleanup cannot undo Iceberg commits — resume must fail
-    loudly, not silently degrade to at-least-once (round-3 advice, medium)."""
-    with pytest.raises(NotImplementedError, match="iceberg"):
+def test_iceberg_resume_without_catalog_fails_loudly(spark, small_input, tmp_path):
+    """Iceberg resume is now supported through the Sink seam's DELETE-based
+    orphan cleanup (tests/test_sinks.py::test_resume_orphan_pass_uses_sink_delete);
+    without a configured catalog the run must still fail loudly at sink
+    construction, never silently write nowhere."""
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         pipeline.run(
             spark,
             small_input,

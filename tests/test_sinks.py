@@ -4,6 +4,7 @@ chunk-partitioned parquet layout that exactly-once resume depends on."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from lumbermill_spark import sinks
 
@@ -80,11 +81,20 @@ class _FakeDF:
         return _FakeWriter(self.log, table)
 
 
+class _FakeRows:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
 class _FakeSpark:
-    def __init__(self, tables=()):
+    def __init__(self, tables=(), chunk_rows=()):
         self.tables = set(tables)
         self.sqls = []
         self.log = []
+        self.chunk_rows = list(chunk_rows)
         outer = self
 
         class _Conf:
@@ -99,6 +109,9 @@ class _FakeSpark:
 
     def sql(self, q):
         self.sqls.append(q)
+        if q.startswith("SELECT DISTINCT chunk_id"):
+            return _FakeRows([{"chunk_id": c} for c in self.chunk_rows])
+        return _FakeRows([])
 
     def table(self, t):
         return _FakeDF(["token", "chunk_id"], self.log)
@@ -151,3 +164,78 @@ def test_iceberg_read_chunk(spark):
     got = sink.read_chunk(fake, "/out/sinks/router", "c0")
     assert got is not None
     assert fake.log and fake.log[0][0] == "filter" and "chunk_id" in fake.log[0][1]
+
+
+def test_iceberg_delete_and_list_chunks(spark):
+    """Resume's exactly-once undo for catalog tables: chunk removal is a
+    transactional row-level DELETE, discovery a DISTINCT over chunk_id —
+    never an FS delete (FS globs cannot see table commits)."""
+    fake = _FakeSpark(tables={"lm.lumbermill.router"}, chunk_rows=["a", "b"])
+    sink = sinks.IcebergSink(fake, n_buckets=16)
+    assert not sink.fs_managed
+    assert sink.list_chunk_ids(fake, "/out/sinks/router") == {"a", "b"}
+    assert sink.list_chunk_ids(fake, "/out/sinks/not_a_table") == set()
+    assert sink.delete_chunk(fake, "/out/sinks/router", "b") is True
+    assert "DELETE FROM lm.lumbermill.router WHERE chunk_id = 'b'" in fake.sqls
+    assert sink.delete_chunk(fake, "/out/sinks/not_a_table", "b") is False
+
+
+def test_parquet_delete_and_list_chunks(spark, tmp_path):
+    out = str(tmp_path / "s3")
+    sink = sinks.ParquetSink()
+    df = spark.createDataFrame([(1, "a")], "id long, bucket string")
+    sink.write(df, out, "cA", "bucket")
+    sink.write(df, out, "cB", "bucket")
+    assert sink.list_chunk_ids(spark, out) == {"cA", "cB"}
+    assert sink.delete_chunk(spark, out, "cB") is True
+    assert sink.list_chunk_ids(spark, out) == {"cA"}
+    assert sink.delete_chunk(spark, out, "cB") is False
+
+
+def test_resume_orphan_pass_uses_sink_delete(spark, tmp_path, monkeypatch):
+    """pipeline.run(resume=True) with a non-fs_managed sink must remove
+    marker-less chunks through the Sink seam (delete_chunk), keep committed
+    chunks, and reprocess nothing that the ledger already covers."""
+    from lumbermill_spark import lineage as lin
+    from lumbermill_spark import pipeline, sinks as sink_mod
+
+    class _StoreSink(sink_mod.Sink):
+        fs_managed = False
+
+        def __init__(self):
+            self.store = {}  # (path, chunk_id) -> True
+            self.deleted = []
+
+        def write(self, df, path, chunk_id, bucket_col):
+            self.store[(path, chunk_id)] = True
+
+        def list_chunk_ids(self, spark, path):
+            return {c for (p, c) in self.store if p == path}
+
+        def delete_chunk(self, spark, path, chunk_id):
+            self.deleted.append((path, chunk_id))
+            return self.store.pop((path, chunk_id), None) is not None
+
+    out = str(tmp_path / "iceout")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("c1", 0, "heroku", "x", "router")], "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2025-01-01 00:00:00").cast("timestamp")).write.parquet(src)
+
+    fake = _StoreSink()
+    monkeypatch.setattr(sink_mod, "make_sink", lambda *a, **k: fake)
+
+    # committed chunk A (ledger row + .done marker) and orphan chunk B
+    router_dir = out + "/sinks/router"
+    fake.store[(router_dir, "runx_A")] = True
+    fake.store[(router_dir, "runx_B")] = True
+    src_file = spark.read.parquet(src).select(F.col("_metadata.file_path")).first()[0]
+    ldf = spark.createDataFrame(
+        [(src_file, "router", 1)], "source_file string, msg_class string, rows long"
+    )
+    lin.commit_chunk(spark, out, "runx", "runx_A", ldf)
+
+    r = pipeline.run(spark, src, out, pipeline.PipelineConfig(sink_format="iceberg"), resume=True)
+    assert (router_dir, "runx_B") in fake.deleted  # orphan removed via the seam
+    assert (router_dir, "runx_A") in fake.store  # committed chunk untouched
+    assert r.chunks == 0 and r.rows_in == 0  # ledger-covered file skipped
