@@ -109,8 +109,27 @@ def main() -> None:
         ),
     )
 
+    # sf1 (20M turns) noop: at the driver's sf0.1 the 32-core run is
+    # fixed-cost-dominated (~1.8 s of scheduling/planning floor on 2M rows),
+    # so parser/shuffle improvements are invisible in the headline; one
+    # amortized measurement records where the throughput actually is. Skipped
+    # when the bench SF is already ≥ 1 and capped to two runs (best-of).
+    sf1_block = {}
+    if sf < 1.0:
+        tpath_sf1 = datagen.ensure_transcripts(1.0)
+        cfg1 = pipeline.PipelineConfig(sink_format="noop", write_metrics=False)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            r1 = pipeline.run(spark, tpath_sf1, "/tmp/lm_bench_noop_sf1", cfg1)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings["pipeline_noop_pandas_sf1"] = round(best, 3)
+        sf1_block = {"sf1_turns": r1.rows_in, "sf1_turns_per_sec": round(r1.rows_in / best, 1)}
+
     total = timings["pipeline_noop_pandas"]
     out = {
+        **sf1_block,
         "metric": "end_to_end_parse_route_aggregate_pipeline_sec",
         "value": total,
         "unit": "sec",
