@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import ArrowUDFType, arrow_udf, pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from . import schemas as S
 
@@ -149,8 +149,11 @@ def _kv_perkey(sub: "pa.Array", fdict: dict, idict: dict, src_pat: str):
     return src, fl, iv
 
 
-@arrow_udf(S.PARSED_STRUCT, ArrowUDFType.SCALAR)
+@arrow_udf(S.PARSED_STRUCT)
 def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
+    # NB: the return hint must be pa.Array, not pa.StructArray — the latter
+    # makes type-hint inference classify this as an AGGREGATE (Arrays → Scalar)
+    # and every caller fails analysis with MISSING_GROUP_BY.
     """First argument is the TINYINT schemas.CLS_ID code, not the class
     string, and text arrives pre-nulled for never-parsed classes — both cut
     the Arrow JVM→Python transfer (with_parsed does the encode/gate).
