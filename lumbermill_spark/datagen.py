@@ -502,18 +502,42 @@ def ensure_transcripts(sf: float, workers: int | None = None) -> str:
     if sf < CHUNKED_MIN_SF:
         _write_atomic(generate_transcripts(sf), p)
         return p
+    import json
+    import shutil
     from concurrent.futures import ProcessPoolExecutor
 
     n_chunks = int(round(sf / CHUNK_SF))
-    assert abs(n_chunks * CHUNK_SF - sf) < 1e-9, "sf must be a multiple of CHUNK_SF"
+    if abs(n_chunks * CHUNK_SF - sf) > 1e-9:
+        raise ValueError(
+            "chunked generation requires sf to be a multiple of CHUNK_SF=%s (got sf=%s); "
+            "pick e.g. sf=%s or sf=%s" % (CHUNK_SF, sf, n_chunks * CHUNK_SF, (n_chunks + 1) * CHUNK_SF)
+        )
     tmp = p + ".tmpdir"
+    # Leftover part files from an interrupted run are only reusable when they
+    # were generated under the SAME constants — a stale tmpdir from an older
+    # seed/chunking version would silently mix into the final dataset and
+    # break the "pure function of sf" determinism claim (round-3 advice).
+    manifest = {"seed": SEED, "chunk_sf": CHUNK_SF, "turns_per_sf": TURNS_PER_SF}
+    mpath = os.path.join(tmp, "_manifest.json")
+    if os.path.isdir(tmp):
+        try:
+            with open(mpath) as fh:
+                stale = json.load(fh) != manifest
+        except (OSError, ValueError):
+            stale = True
+        if stale:
+            shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
     jobs = [
         (CHUNK_SF, i, os.path.join(tmp, "part-%05d.parquet" % i)) for i in range(n_chunks)
     ]
     workers = workers or min(16, os.cpu_count() or 4)
     with ProcessPoolExecutor(max_workers=workers) as ex:
         list(ex.map(_gen_transcript_chunk, jobs))
+    # the underscore-prefixed manifest stays in the final directory: Spark's
+    # parquet reader ignores _* files, and it documents how the data was built
     os.replace(tmp, p)
     return p
 

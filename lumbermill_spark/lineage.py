@@ -73,6 +73,34 @@ def done_chunk_ids(spark: SparkSession, out_dir: str) -> set[str]:
     }
 
 
+def register_run(spark: SparkSession, out_dir: str, run_id: str) -> None:
+    """Record that ``run_id`` writes into THIS out_dir, before its first sink
+    append. Catalog-table sinks (Iceberg) have a table identity independent of
+    out_dir, so resume's orphan DELETE must be scoped to chunk ids owned by
+    this deployment — otherwise a second run sharing the catalog namespace but
+    writing to a different out_dir would have its committed rows transactionally
+    DELETEd by our cleanup (round-3 advice, medium)."""
+    fsio.write_text(
+        spark,
+        ledger_path(out_dir) + "/_run_%s.begun" % run_id,
+        json.dumps({"run_id": run_id, "started_at": time.time()}),
+    )
+
+
+def owned_run_ids(spark: SparkSession, out_dir: str) -> set[str]:
+    """run_ids this out_dir's ledger owns: every registered run (``.begun``
+    marker, written at run start) plus the run prefix of every committed chunk
+    (``.done`` marker) — the latter covers ledgers written before run
+    registration existed. chunk_id format is ``<run_id>_<seq>``."""
+    owned: set[str] = set()
+    for name in fsio.list_names(spark, ledger_path(out_dir)):
+        if name.startswith("_run_") and name.endswith(".begun"):
+            owned.add(name[len("_run_") : -len(".begun")])
+        elif name.startswith("_chunk_") and name.endswith(".done"):
+            owned.add(name[len("_chunk_") : -len(".done")].rsplit("_", 1)[0])
+    return owned
+
+
 def _has_ledger_data(spark: SparkSession, out_dir: str) -> bool:
     # committed ledger rows always sit under chunk_id=<id>/part-*.parquet
     return bool(fsio.glob(spark, ledger_path(out_dir) + "/chunk_id=*/*.parquet"))

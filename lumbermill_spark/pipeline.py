@@ -137,13 +137,21 @@ def run(
             # catalog-table sinks (Iceberg): rows committed by a crashed
             # chunk are invisible to FS globs — remove them with the sink's
             # own transactional DELETE, per table, for every chunk_id that
-            # has data but no .done marker (round-3 advice, medium)
+            # has data but no .done marker. Scoped to chunk ids whose run_id
+            # is OWNED by this out_dir's ledger (begin/done markers): the
+            # table identity (catalog.namespace.<sink>) is independent of
+            # out_dir, so an unscoped delete would destroy rows committed by
+            # a concurrent or parallel deployment sharing the namespace
+            # (round-3/4 advice, medium).
             done = lin.done_chunk_ids(spark, out_dir)
+            owned = lin.owned_run_ids(spark, out_dir)
             for tbl_path in [_sink_dir(out_dir, s) for s in S.ALL_SINKS] + [
                 os.path.join(out_dir, "metrics", m)
                 for m in ("class_counts", "router_error_codes", "router_rollup")
             ]:
                 for cid in sorted(sink_writer.list_chunk_ids(spark, tbl_path) - done):
+                    if cid.rsplit("_", 1)[0] not in owned:
+                        continue  # another deployment's chunk — not ours to undo
                     sink_writer.delete_chunk(spark, tbl_path, cid)
                     orphans.append(f"{tbl_path}#chunk_id={cid}")
         if orphans:
@@ -158,6 +166,11 @@ def run(
     files = sorted(r["source_file"] for r in src_files.collect())
     chunk_size = cfg.chunk_files or max(len(files), 1)
     chunks = [files[i : i + chunk_size] for i in range(0, len(files), chunk_size)] if files else []
+    if chunks and cfg.sink_format != "noop":
+        # claim the run BEFORE the first sink append: a crash between an
+        # append and the chunk's .done marker must leave a chunk id that a
+        # later resume recognizes as ours (lineage.owned_run_ids)
+        lin.register_run(spark, out_dir, run_id)
     dims = enrich_mod.load_dims(spark) if cfg.enrich else None
     totals: dict[str, int] = {k: 0 for k in S.ALL_SINKS}
     cls_totals: dict[str, int] = {}

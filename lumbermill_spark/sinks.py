@@ -24,10 +24,24 @@ IcebergSink would use its own fanout-write + table maintenance instead.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import fsio
+
+# chunk_id / table-name components are interpolated into SQL text on the
+# Iceberg path (DELETE FROM ... WHERE chunk_id = '...'). The Sink seam is a
+# public API, so validate instead of trusting the pipeline's uuid+counter
+# format — a quote-bearing id must fail loudly, never break or inject.
+_SAFE_ID_RX = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _safe_sql_id(value: str, what: str) -> str:
+    if not _SAFE_ID_RX.match(value or ""):
+        raise ValueError(f"unsafe {what} for SQL interpolation: {value!r}")
+    return value
 
 
 class Sink:
@@ -120,7 +134,11 @@ class IcebergSink(Sink):
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
 
     def _table(self, sink_name: str) -> str:
-        return f"{self.catalog}.{self.namespace}.{sink_name}"
+        return "{}.{}.{}".format(
+            _safe_sql_id(self.catalog, "catalog"),
+            _safe_sql_id(self.namespace, "namespace"),
+            _safe_sql_id(sink_name, "sink name"),
+        )
 
     @staticmethod
     def sink_name_of(path: str) -> str:
@@ -171,7 +189,7 @@ class IcebergSink(Sink):
         table = self._table(self.sink_name_of(path))
         if not spark.catalog.tableExists(table):
             return False
-        spark.sql(f"DELETE FROM {table} WHERE chunk_id = '{chunk_id}'")
+        spark.sql(f"DELETE FROM {table} WHERE chunk_id = '{_safe_sql_id(chunk_id, 'chunk_id')}'")
         return True
 
 

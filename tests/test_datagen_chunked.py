@@ -35,8 +35,11 @@ def chunked_conf(tmp_path, monkeypatch):
 def test_chunked_layout_and_determinism(chunked_conf):
     p = datagen.ensure_transcripts(0.004, workers=2)
     assert os.path.isdir(p)
-    parts = sorted(os.listdir(p))
+    parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
     assert parts == ["part-%05d.parquet" % i for i in range(4)]
+    # the build manifest travels with the data (underscore-prefixed: ignored
+    # by Spark's parquet reader)
+    assert os.path.exists(os.path.join(p, "_manifest.json"))
     h1 = _hash_dir(p)
 
     # regeneration from scratch with a DIFFERENT worker count is byte-identical
@@ -68,3 +71,46 @@ def test_small_sf_stays_single_file(chunked_conf, monkeypatch):
     monkeypatch.setattr(datagen, "CHUNKED_MIN_SF", 2.0)
     p = datagen.ensure_transcripts(0.001)
     assert os.path.isfile(p)
+
+
+def test_off_grid_sf_raises(chunked_conf):
+    """sf not on the CHUNK_SF grid must fail with a clear ValueError, not an
+    assert (round-3 advice)."""
+    with pytest.raises(ValueError, match="multiple of CHUNK_SF"):
+        datagen.ensure_transcripts(0.0035)
+
+
+def test_stale_tmpdir_regenerated(chunked_conf):
+    """Leftover part files from an interrupted run under DIFFERENT generator
+    constants must be discarded, not silently reused (round-3 advice): the
+    manifest fingerprint (seed/chunking constants) gates tmpdir reuse."""
+    import json
+
+    p = datagen.transcripts_path(0.002)
+    tmp = p + ".tmpdir"
+    os.makedirs(tmp)
+    # a stale part claiming to be chunk 0, plus a manifest from an older seed
+    stale_part = os.path.join(tmp, "part-00000.parquet")
+    with open(stale_part, "wb") as fh:
+        fh.write(b"not really parquet")
+    with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
+        json.dump({"seed": 999, "chunk_sf": 0.001, "turns_per_sf": 1}, fh)
+    out = datagen.ensure_transcripts(0.002, workers=1)
+    # the stale bytes are gone — chunk 0 was regenerated and parses as parquet
+    t0 = pq.read_table(os.path.join(out, "part-00000.parquet"))
+    assert t0.num_rows > 0
+
+    # matching manifest → valid partials ARE reused (resume semantics intact)
+    import shutil
+
+    part0 = os.path.join(out, "part-00000.parquet")
+    good = open(part0, "rb").read()
+    shutil.move(out, tmp.replace(".tmpdir", "") + ".keep")  # free the final path
+    keep = tmp.replace(".tmpdir", "") + ".keep"
+    os.makedirs(tmp)
+    shutil.copy(os.path.join(keep, "part-00000.parquet"), os.path.join(tmp, "part-00000.parquet"))
+    shutil.copy(os.path.join(keep, "_manifest.json"), os.path.join(tmp, "_manifest.json"))
+    mtime = os.path.getmtime(os.path.join(tmp, "part-00000.parquet"))
+    out2 = datagen.ensure_transcripts(0.002, workers=1)
+    assert open(os.path.join(out2, "part-00000.parquet"), "rb").read() == good
+    assert os.path.getmtime(os.path.join(out2, "part-00000.parquet")) == mtime  # not rewritten

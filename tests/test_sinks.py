@@ -180,6 +180,18 @@ def test_iceberg_delete_and_list_chunks(spark):
     assert sink.delete_chunk(fake, "/out/sinks/not_a_table", "b") is False
 
 
+def test_iceberg_sql_identifiers_validated(spark):
+    """chunk_id and table-name components are interpolated into SQL text: a
+    quote-bearing value must raise, never execute (round-3 advice, low)."""
+    fake = _FakeSpark(tables={"lm.lumbermill.router"})
+    sink = sinks.IcebergSink(fake, n_buckets=16)
+    with pytest.raises(ValueError, match="chunk_id"):
+        sink.delete_chunk(fake, "/out/sinks/router", "x' OR '1'='1")
+    with pytest.raises(ValueError, match="sink name"):
+        sink.delete_chunk(fake, "/out/sinks/bad;name", "c0")
+    assert not any("OR '1'" in q for q in fake.sqls)
+
+
 def test_parquet_delete_and_list_chunks(spark, tmp_path):
     out = str(tmp_path / "s3")
     sink = sinks.ParquetSink()
@@ -225,10 +237,13 @@ def test_resume_orphan_pass_uses_sink_delete(spark, tmp_path, monkeypatch):
     fake = _StoreSink()
     monkeypatch.setattr(sink_mod, "make_sink", lambda *a, **k: fake)
 
-    # committed chunk A (ledger row + .done marker) and orphan chunk B
+    # committed chunk A (ledger row + .done marker), orphan chunk B of the
+    # same run, and a chunk of a FOREIGN run sharing the catalog namespace
+    # (different out_dir → not registered in THIS ledger — must survive)
     router_dir = out + "/sinks/router"
     fake.store[(router_dir, "runx_A")] = True
     fake.store[(router_dir, "runx_B")] = True
+    fake.store[(router_dir, "alienrun_0000")] = True
     src_file = spark.read.parquet(src).select(F.col("_metadata.file_path")).first()[0]
     ldf = spark.createDataFrame(
         [(src_file, "router", 1)], "source_file string, msg_class string, rows long"
@@ -238,4 +253,8 @@ def test_resume_orphan_pass_uses_sink_delete(spark, tmp_path, monkeypatch):
     r = pipeline.run(spark, src, out, pipeline.PipelineConfig(sink_format="iceberg"), resume=True)
     assert (router_dir, "runx_B") in fake.deleted  # orphan removed via the seam
     assert (router_dir, "runx_A") in fake.store  # committed chunk untouched
+    # the foreign run's chunk was NOT deleted: table identity is namespace-
+    # wide, but the orphan DELETE is scoped to runs owned by this out_dir
+    assert (router_dir, "alienrun_0000") in fake.store
+    assert (router_dir, "alienrun_0000") not in fake.deleted
     assert r.chunks == 0 and r.rows_in == 0  # ledger-covered file skipped
