@@ -105,7 +105,10 @@ def _unquote(raw: str) -> str:
         if c == "\\":
             i += 1
             e = raw[i]
-            mapping = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r", "/": "/", "b": "\b", "f": "\f"}
+            # unquote.go:86 identity set is '"', '\\', '/', '\'' — the
+            # apostrophe is valid JSON-for-logfmt here even though strict
+            # JSON rejects it
+            mapping = {'"': '"', "\\": "\\", "'": "'", "n": "\n", "t": "\t", "r": "\r", "/": "/", "b": "\b", "f": "\f"}
             if e in mapping:
                 out.append(mapping[e])
             elif e == "u":

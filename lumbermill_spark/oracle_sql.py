@@ -53,16 +53,38 @@ def _float_field(pat: str) -> str:
     )
 
 
-def _str_field(pat: str) -> str:
-    def render(p):
+def _str_field(pat: str, pat_qa: str | None = None) -> str:
+    """Quoted-or-bare string field with the QA branch escape-aware: the
+    adversarial pattern's quoted group runs over `\\.`-or-plain units
+    (schemas.pat_str_esc) and its value is escape-decoded (UNQUOTE_RX) —
+    quoted branch only, mirroring scanner.go/unquote.go. Safe rows keep the
+    plain pattern, no decode (they cannot contain an in-span backslash)."""
+
+    def render(p, unquote=False):
         g1 = "regexp_extract(text, %s, 1)" % _sql_quote(p)
         g2 = "regexp_extract(text, %s, 2)" % _sql_quote(p)
-        return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1, g2)
+        g1v = (
+            "regexp_replace(%s, %s, '\\1', 'g')" % (g1, _sql_quote(S.UNQUOTE_RX))
+            if unquote
+            else g1
+        )
+        return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1v, g2)
 
-    return _qa_dispatch(render, pat)
+    return "CASE WHEN %s THEN %s ELSE %s END" % (
+        _ADV_SQL,
+        render(pat_qa or S.quote_aware(pat), unquote=True),
+        render(pat),
+    )
 
 
-ODD_QUOTES = "((length(text) - length(replace(text, '\"', ''))) %% 2 = 1)".replace("%%", "%")
+# Unterminated-string detection on span-DELIMITING quotes: rows carrying a
+# backslash first drop every `\x` escape pair (scanner.go qvalue's two-byte
+# skip), mirroring parse._odd_quotes_expr exactly.
+_QTEXT = (
+    "(CASE WHEN contains(text, '\\') THEN regexp_replace(text, %s, '', 'g') "
+    "ELSE text END)" % _sql_quote(S.UNQUOTE_RX)
+)
+ODD_QUOTES = "((length({q}) - length(replace({q}, '\"', ''))) % 2 = 1)".format(q=_QTEXT)
 
 
 def _bad_conjunct(present_pat: str, val_pat: str) -> str:
@@ -136,13 +158,13 @@ FROM p WHERE msg_class = 'router' AND NOT parse_error
 
 def sink_events_router(path: str) -> str:
     return classified_cte(path) + f"""
-SELECT token, time, {_str_field(S.PAT_CODE)} AS code
+SELECT token, time, {_str_field(S.PAT_CODE, S.PAT_CODE_QA)} AS code
 FROM p WHERE msg_class = 'router_error' AND NOT parse_error
 """
 
 
 def sink_dyno_mem(path: str) -> str:
-    src = _str_field(S.PAT_SOURCE)
+    src = _str_field(S.PAT_SOURCE, S.PAT_SOURCE_QA)
     return classified_cte(path) + f"""
 SELECT token, time, {src} AS source,
   {_float_field(S.MEM_FLOAT_KEYS['memory_cache'])} AS memory_cache,
@@ -157,7 +179,7 @@ FROM p WHERE msg_class = 'dyno_mem' AND NOT parse_error AND {src} <> ''
 
 
 def sink_dyno_load(path: str) -> str:
-    src = _str_field(S.PAT_SOURCE)
+    src = _str_field(S.PAT_SOURCE, S.PAT_SOURCE_QA)
     return classified_cte(path) + f"""
 SELECT token, time, {src} AS source,
   {_float_field(S.LOAD_KEYS['load_avg_1m'])} AS load_avg_1m,
@@ -188,7 +210,7 @@ UNION ALL SELECT 'logfmt_parse_error' AS counter, count(*) AS n FROM p WHERE par
 
 def router_error_code_counts(path: str) -> str:
     return classified_cte(path) + f"""
-SELECT {_str_field(S.PAT_CODE)} AS code, count(*) AS n
+SELECT {_str_field(S.PAT_CODE, S.PAT_CODE_QA)} AS code, count(*) AS n
 FROM p WHERE msg_class = 'router_error' AND NOT parse_error
 GROUP BY 1
 """
@@ -283,7 +305,7 @@ FROM s GROUP BY conv_id, session_idx
 
 
 def dyno_type_rollup(path: str) -> str:
-    src = _str_field(S.PAT_SOURCE)
+    src = _str_field(S.PAT_SOURCE, S.PAT_SOURCE_QA)
     mu = lambda c: f"CAST(floor({c} * 1000000) AS BIGINT)"  # noqa: E731
     return classified_cte(path) + f"""
 , dl AS (
@@ -317,7 +339,7 @@ SELECT CAST(rank AS INT) AS rank, token, n_requests FROM (
 def stale_tokens(path: str) -> str:
     """http.go:14,129-155 staleness predicate over the two dyno series,
     as_of = dataset max time (deterministic time.Now() replay)."""
-    src = _str_field(S.PAT_SOURCE)
+    src = _str_field(S.PAT_SOURCE, S.PAT_SOURCE_QA)
     return classified_cte(path) + f"""
 , u AS (
   SELECT token, time, 'dyno_load' AS series
@@ -352,7 +374,7 @@ FROM sizes
 def delivery_sizes(path: str) -> str:
     """poster.go:35-38 deliver.sizes replay: rows per (sink, token, 1-second
     event-time bucket) → per-sink size distribution (aggregate.py analog)."""
-    src = _str_field(S.PAT_SOURCE)
+    src = _str_field(S.PAT_SOURCE, S.PAT_SOURCE_QA)
     return classified_cte(path) + f"""
 , u AS (
   SELECT CASE

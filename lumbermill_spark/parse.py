@@ -21,9 +21,11 @@ Semantics replicated per class (the asymmetric error policies of SURVEY §7.4):
 
 An unterminated quoted string makes the Go scanner return
 ErrUnterminatedString (logfmt/scanner.go:115-119) ⇒ row dropped for every
-logfmt-parsed class; we detect it as an odd count of '"' bytes (exact for
-lines without escaped quotes; the datagen produces none — divergence for
-pathological escapes is documented in tests/test_parse_golden.py).
+logfmt-parsed class; we detect it as an odd count of span-DELIMITING '"'
+bytes — escaped quotes (`\\"`) are first stripped as two-byte `\\x` units,
+exactly the scanner's qvalue skip (scanner.go:118-121), and quoted values
+that carried escapes are decoded `\\x → x` (the in-contract subset of
+unquote.go; see schemas.py for the escape contract).
 
 Quote-awareness: the regexes anchor keys at whitespace/line-start, so a
 ``key=`` sequence embedded inside a *quoted value that itself contains
@@ -97,20 +99,27 @@ def _ext(arr: "pa.Array", pat: str, field: str = "v") -> "pa.Array":
     return pc.struct_field(pc.extract_regex(arr, pat), field)
 
 
-def _qb(s: "pa.Array") -> "pa.Array":
+def _qb(s: "pa.Array", unquote: bool = False) -> "pa.Array":
     """Quoted-or-bare value from an extract struct with (q, b) groups. RE2
     leaves non-participating alternation groups as '' (not null), so the rule
     is 'quoted group if non-empty, else bare group' — identical to the native
     parser's when(g1 != '', g1) and the DuckDB oracle's CASE (all three
-    agree, including on quoted-empty → '')."""
+    agree, including on quoted-empty → ''). With ``unquote`` the QUOTED
+    branch is escape-decoded (`\\x → x`, schemas.UNQUOTE_RX) the way Go's
+    unquote maps the in-contract escapes; bare values are never decoded
+    (scanner.go only unquotes qvalue tokens)."""
     q = pc.struct_field(s, "q")
     b = pc.struct_field(s, "b")
-    out = pc.if_else(pc.not_equal(q, ""), q, b)
+    if unquote:
+        q_out = pc.replace_substring_regex(q, pattern=S.UNQUOTE_RX, replacement=r"\1")
+    else:
+        q_out = q
+    out = pc.if_else(pc.not_equal(q, ""), q_out, b)
     return pc.coalesce(out, pa.scalar("", type=pa.string()))
 
 
-def _coalesced(arr: "pa.Array", pat: str) -> "pa.Array":
-    return _qb(pc.extract_regex(arr, pat))
+def _coalesced(arr: "pa.Array", pat: str, unquote: bool = False) -> "pa.Array":
+    return _qb(pc.extract_regex(arr, pat), unquote=unquote)
 
 
 def _to_f64(vals: "pa.Array") -> np.ndarray:
@@ -141,9 +150,9 @@ def _router_perkey(sub: "pa.Array", adv: bool):
     return st, sv, err
 
 
-def _kv_perkey(sub: "pa.Array", fdict: dict, idict: dict, src_pat: str):
+def _kv_perkey(sub: "pa.Array", fdict: dict, idict: dict, src_pat: str, unquote: bool = False):
     """Per-key dyno_mem/dyno_load extraction → (source, {floats}, {ints})."""
-    src = _coalesced(sub, src_pat)
+    src = _coalesced(sub, src_pat, unquote=unquote)
     fl = {k: _to_f64(_ext(sub, pat)) for k, pat in fdict.items()}
     iv = {k: _to_i32(_ext(sub, pat)) for k, pat in idict.items()}
     return src, fl, iv
@@ -180,6 +189,14 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
     text_pa = pc.coalesce(text, pa.scalar("", type=text.type))
 
     def odd_quotes(sub):
+        # the scanner's unterminated-string detection: an odd number of
+        # span-delimiting quotes. Escaped quotes don't delimit (scanner.go
+        # qvalue: '\' consumes the next byte), so when the slice carries any
+        # backslash, strip every `\x` pair first — exactly the scanner's
+        # two-byte skip — then count. Backslash-free slices (the overwhelming
+        # case) keep the single memchr-style count.
+        if pc.any(pc.greater(pc.count_substring(sub, "\\"), 0)).as_py():
+            sub = pc.replace_substring_regex(sub, pattern=S.UNQUOTE_RX, replacement="")
         return (
             pc.bit_wise_and(pc.count_substring(sub, '"'), pa.scalar(1)).to_numpy(zero_copy_only=False) == 1
         )
@@ -222,11 +239,12 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
         # misses re-dispatch through the adversarial/fast per-key pair
         m = pc.extract_regex(sub, S.MEGA_ROUTER_ERROR)
         hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
-        code_vals = _qb(m)
+        code_vals = _qb(m, unquote=True)
         miss = np.flatnonzero(~hit)
         if len(miss):
             sub2 = pc.take(sub, pa.array(miss))
-            fb = _coalesced(sub2, _N_CODE_QA if has_adversarial(sub2) else _N_CODE)
+            adv2 = has_adversarial(sub2)
+            fb = _coalesced(sub2, _N_CODE_QA if adv2 else _N_CODE, unquote=adv2)
             code_vals = pc.replace_with_mask(code_vals, pa.array(~hit), fb)
         ec_scatter.append((idx, code_vals))
 
@@ -251,7 +269,7 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
         if has_adversarial(sub):
-            src, fl, iv = _kv_perkey(sub, fpair[1], ipair[1], _N_SOURCE_QA)
+            src, fl, iv = _kv_perkey(sub, fpair[1], ipair[1], _N_SOURCE_QA, unquote=True)
             src_scatter.append((idx, src))
             for k, v in fl.items():
                 doubles[k][idx] = v
@@ -316,6 +334,22 @@ def _adv(text: Column) -> Column:
     return text.rlike(S.ADVERSARIAL_RX)
 
 
+def _odd_quotes_expr(text: Column) -> Column:
+    """Unterminated-string detection: odd count of span-DELIMITING quotes.
+    Escaped quotes don't delimit (scanner.go qvalue skips `\\x` as one unit),
+    so rows carrying a backslash strip those pairs first; the contains() gate
+    keeps the regexp off the hot path (CaseWhen branches evaluate lazily)."""
+
+    def parity(t):
+        # literal replace, not regexp_replace — no java.util.regex for a
+        # 1-char count
+        return (F.length(t) - F.length(F.replace(t, F.lit('"'), F.lit("")))) % 2 == 1
+
+    return F.when(
+        text.contains("\\"), parity(F.regexp_replace(text, S.UNQUOTE_RX, ""))
+    ).otherwise(parity(text))
+
+
 def _nat_int(text: Column, adv: Column, pats: tuple[str, str], present_pats: tuple[str, str]) -> tuple[Column, Column]:
     def one(pat, present_pat):
         raw = F.regexp_extract(text, pat, 1)
@@ -329,12 +363,15 @@ def _nat_int(text: Column, adv: Column, pats: tuple[str, str], present_pats: tup
 
 
 def _nat_str(text: Column, adv: Column, pats: tuple[str, str]) -> Column:
-    def one(pat):
+    def one(pat, unquote=False):
         g1 = F.regexp_extract(text, pat, 1)
         g2 = F.regexp_extract(text, pat, 2)
-        return F.when(g1 != "", g1).otherwise(g2)
+        # only the QUOTED branch is escape-decoded (scanner.go unquotes
+        # qvalue tokens only; bare values keep their bytes)
+        g1v = F.regexp_replace(g1, S.UNQUOTE_RX, "$1") if unquote else g1
+        return F.when(g1 != "", g1v).otherwise(g2)
 
-    return F.when(adv, one(pats[1])).otherwise(one(pats[0]))
+    return F.when(adv, one(pats[1], unquote=True)).otherwise(one(pats[0]))
 
 
 def _nat_float(text: Column, adv: Column, pats: tuple[str, str]) -> Column:
@@ -346,8 +383,7 @@ def _nat_float(text: Column, adv: Column, pats: tuple[str, str]) -> Column:
 
 
 def parse_fields_native(msg_class: Column, text: Column) -> Column:
-    # literal replace, not regexp_replace — no java.util.regex for a 1-char count
-    odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
+    odd_quotes = _odd_quotes_expr(text)
     is_router = msg_class == S.CLS_ROUTER
     adv = _adv(text)
 
@@ -482,7 +518,7 @@ def parse_fields_native_fast(msg_class: Column, text: Column) -> Column:
 
 def _native_fast_struct(msg_class: Column, text: Column) -> Column:
     pad = F.concat(F.lit(" "), text)
-    odd_quotes = (F.length(text) - F.length(F.replace(text, F.lit('"'), F.lit("")))) % 2 == 1
+    odd_quotes = _odd_quotes_expr(text)
     is_router = msg_class == S.CLS_ROUTER
 
     router_bad = F.lit(False)

@@ -162,40 +162,65 @@ LOAD_KEYS = {
 # sequence inside a quoted value is part of that value, never a key. The fast
 # patterns above anchor keys at whitespace/line-start, so they can only be
 # fooled by a quoted span that itself contains whitespace or '=' (a key match
-# needs a preceding space and a trailing '='). Rows are therefore dispatched:
+# needs a preceding space and a trailing '='), or by escape sequences (inside
+# a quoted value, '\' consumes the next byte — scanner.go qvalue state — so a
+# \" does not close the span and JSON-style unquoting applies, unquote.go).
+# Rows are therefore dispatched:
 #
-#   safe rows  (no quoted span containing \s or '=') → fast patterns, which
-#              are PROVABLY identical to the scanner on those rows;
-#   adversarial rows → the same pattern behind a quote-parity prefix that
-#              only lets a match start after an EVEN number of quotes
-#              (every preceding quote is consumed as a balanced pair).
+#   safe rows  (no quoted span containing \s, '=' or '\') → fast patterns,
+#              which are PROVABLY identical to the scanner on those rows;
+#   adversarial rows → the same pattern behind an ESCAPE-AWARE quote-parity
+#              prefix that only lets a key match start after an even number
+#              of span-delimiting quotes (escaped quotes are consumed as
+#              two-byte `\x` units, exactly like the scanner).
 #
-# Both forms are RE2-safe (no backreferences) and are consumed verbatim by
-# the pandas/Arrow parser, the java-regex native parsers, AND the DuckDB
-# oracle — the dispatch rule is part of the shared contract. Out of contract
-# (documented in tests/test_parse_fuzz.py): duplicate out-of-quote keys
-# (scanner last-wins, regex occurrence choice unspecified), lines with
-# escaped quotes (the odd-quote drop rule counts raw '"' bytes), and STRAY
-# quotes not immediately after '=' (the Go scanner treats those as garbage
-# and still extracts keys from inside them — inexpressible in RE2, which
-# has no lookbehind).
-# "some ="..." value span contains whitespace or '='" — anchored at the span
-# OPENER (quotes only open right after '=', per the grammar above) and
-# written so the content scan stops at the FIRST terminator: no backtracking
-# in java.util.regex, single linear pass in RE2. The naive
-# '"[^"]*[\s=][^"]*"' form cost native_fast +64% at sf0.1.
-ADVERSARIAL_RX = r'="[^"= \t]*[= \t]'
-QUOTE_PARITY_PREFIX = r'^(?:[^"]*"[^"]*")*[^"]*?'
+# Escape contract (tests/test_parse_fuzz.py): in-grammar escapes inside
+# quoted values are \" \\ \/ \' — precisely the set Go's unquote maps to the
+# escaped character itself (unquote.go:86-89), so the shared decode rule
+# `\(.) → $1` reproduces it. Out of contract: control-escape decodes
+# (\n \t \b \f \r \uXXXX — Go maps to control bytes/runes; regex replace
+# cannot), invalid escapes (Go fails unquote → row dropped; we decode
+# literally), duplicate out-of-quote keys (scanner last-wins, regex
+# first-wins), and STRAY quotes/escapes not in a `k="..."` span (the Go
+# scanner treats those as garbage and still extracts keys from inside them —
+# inexpressible in RE2, which has no lookbehind).
+#
+# ADVERSARIAL_RX anchors at the span OPENER (quotes only open right after
+# '=', per the grammar above) and stops at the FIRST terminator — no
+# backtracking in java.util.regex, single linear pass in RE2. The naive
+# '"[^"]*[\s=][^"]*"' form cost native_fast +64% at sf0.1. \s (not just
+# space/tab) so a quoted \r or \f before a `key=` sequence cannot leak the
+# fast patterns onto an unsafe row; '\' in the terminator class routes every
+# escape-bearing span to the quote-parity patterns, which are the only ones
+# whose quoted-value branches understand escapes.
+ADVERSARIAL_RX = r'="[^"=\s\\]*[=\s\\]'
+# one scanner "character" of a quoted-or-plain region: an escape pair or a
+# byte that is neither '"' nor '\'
+_CH = r'(?:\\.|[^"\\])'
+QUOTE_PARITY_PREFIX = r'^(?:' + _CH + r'*"' + _CH + r'*")*' + _CH + r'*?'
+
+# shared decode rule for quoted values that contained escapes: `\x → x`.
+# Identical in java.util.regex ($1), RE2 (\1) and DuckDB (\1); (?s) so an
+# escaped literal newline is still one unit.
+UNQUOTE_RX = r"(?s)\\(.)"
 
 
 def quote_aware(pat: str) -> str:
     return QUOTE_PARITY_PREFIX + pat
 
 
+def pat_str_esc(key: str) -> str:
+    """pat_str with an escape-aware quoted branch: the span runs over escape
+    pairs (`\\.`) or non-quote bytes, mirroring scanner.go's qvalue state.
+    Only used behind the quote-parity dispatch — on safe rows (no '\\' in any
+    span) it is byte-for-byte equivalent to pat_str."""
+    return r'(?:^|\s)' + key + r'=(?:"(' + _CH + r'*)"|([^\s"]*))'
+
+
 ROUTER_INT_KEYS_QA = {k: quote_aware(p) for k, p in ROUTER_INT_KEYS.items()}
 PAT_ROUTER_PRESENT_QA = {k: quote_aware(p) for k, p in PAT_ROUTER_PRESENT.items()}
-PAT_CODE_QA = quote_aware(PAT_CODE)
-PAT_SOURCE_QA = quote_aware(PAT_SOURCE)
+PAT_CODE_QA = quote_aware(pat_str_esc("code"))
+PAT_SOURCE_QA = quote_aware(pat_str_esc("source"))
 MEM_FLOAT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_FLOAT_KEYS.items()}
 MEM_INT_KEYS_QA = {k: quote_aware(p) for k, p in MEM_INT_KEYS.items()}
 LOAD_KEYS_QA = {k: quote_aware(p) for k, p in LOAD_KEYS.items()}
@@ -233,8 +258,10 @@ MEGA_ROUTER = (
 # makes the code= occurrence provably even-quote-parity AND first — i.e.
 # exactly what the quote-aware per-key pattern would select — without the
 # parity-prefix crawl (measured 77 ms → 5 ms per 15k rows). Misses fall
-# back to the QA/fast per-key dispatch.
-MEGA_ROUTER_ERROR = r'^at=[^\s"]+ code=(?:"(?P<q>[^"]*)"|(?P<b>[^\s"]*))'
+# back to the QA/fast per-key dispatch. The quoted branch is escape-aware
+# (the mega runs BEFORE the adversarial dispatch, so it must not misread an
+# escaped quote as the span close); its value is decoded with UNQUOTE_RX.
+MEGA_ROUTER_ERROR = r'^at=[^\s"]+ code=(?:"(?P<q>' + _CH + r'*)"|(?P<b>[^\s"]*))'
 MEGA_MEM = (
     r" sample#memory_total=(?P<memory_total>" + _FLOAT_V + r")MB"
     r" sample#memory_rss=(?P<memory_rss>" + _FLOAT_V + r")MB"

@@ -10,6 +10,14 @@ here as the engine's contract):
   * quoted values containing whitespace, '=', `key=` sequences, or bare key
     words ARE in grammar since round 3: such rows dispatch to the
     quote-parity patterns (schemas.quote_aware) and must match the scanner;
+  * quoted values containing the identity-decode escapes (backslash followed
+    by quote, backslash, slash, or apostrophe) ARE in grammar since round 4
+    (schemas.py escape contract): the parity prefix consumes them as
+    two-byte units, the drop rule strips them before counting quotes, and
+    the quoted-branch extraction decodes backslash-x to x — all three
+    matching scanner.go/unquote.go. Control escapes (backslash-n/-t/-u...)
+    and invalid escapes stay out of grammar (regex replace cannot produce
+    control bytes; Go drops rows whose unquote fails);
   * every '"' must open/close a value span attached directly to its key
     (`k="..."`). A quote NOT immediately after '=' is garbage to the Go
     scanner (it happily extracts keys from inside such pseudo-quoted text,
@@ -44,7 +52,11 @@ _tokens = st.sampled_from(["GET", "12ms", "200", "H12", "web.1", '"a b"',
                            # INSIDE quotes must never be extracted as keys
                            '"x status=999 y"', '"fake source=web.9"',
                            '"has connect inside"', '"k=v"',
-                           '"sample#load_avg_1m=9.9"'])
+                           '"sample#load_avg_1m=9.9"',
+                           # in-contract escapes inside quoted values
+                           # (python '\\' = one backslash byte)
+                           '"a\\"b"', '"tail\\\\"', '"x\\/y\\\'z"',
+                           '"esc \\" and status=7"', '"\\""'])
 
 
 @st.composite

@@ -54,6 +54,103 @@ def test_mega_fallback_suffix_keys(spark, parser):
     assert (row["source"], row["memory_total"], row["memory_rss"]) == ("web.11", 33.0, 11.0)
 
 
+# --- escaped quotes inside quoted values (scanner.go qvalue skips `\x` as
+# one unit; unquote.go decodes). In-contract escapes are \" \\ \/ \' (the
+# identity-decode set — see schemas.py escape contract). Every engine must
+# agree with the pure-Python scanner port on extraction, decode, AND the
+# unterminated-string drop rule.
+ESC_ROWS = [
+    # escaped quote in a non-extracted value: row kept, plain fields intact
+    ("e1", 0, "heroku", 'at=error code=H12 desc="time\\"out" status=503 sock=client', "router", T0_ESC := 1_735_689_600_000_000),
+    # escaped quote inside the EXTRACTED source value → decoded `web"1.a`
+    ("e2", 0, "heroku", 'source="web\\"1.a" sample#memory_total=10.00MB sample#memory_rss=5.00MB', "web.5", T0_ESC + 1),
+    # escape + whitespace in the same span (adversarial on two counts)
+    ("e3", 0, "heroku", 'source="we b\\"x" sample#load_avg_1m=1.50 sample#load_avg_5m=0.50 sample#load_avg_15m=0.25', "web.6", T0_ESC + 2),
+    # quoted code reached via the raw classification sentinel inside another
+    # span: mega hit must decode `H"9` (first even-parity code=)
+    ("e4", 0, "heroku", 'at=error code="H\\"9" msg="retry code=H12 later" status=503', "router", T0_ESC + 3),
+    # escaped backslash right before the closing quote: span closes, row kept
+    ("e5", 0, "heroku", 'source=web.9 desc="tail\\\\" sample#load_avg_1m=2.50 sample#load_avg_5m=1.00 sample#load_avg_15m=0.75', "worker.2", T0_ESC + 4),
+    # unterminated BECAUSE of the escape: `\"` does not close the span → drop
+    ("e6", 0, "heroku", 'desc="a\\" sample#load_avg_1m=9.99 source=web.3', "web.7", T0_ESC + 5),
+    # router line with an escaped quote in fwd + quoted trap after it:
+    # ints must come from outside the spans
+    ("e7", 0, "heroku", 'at=info fwd="1.2.3.4\\"x" note="y status=999" connect=3ms service=5ms status=200 bytes=10', "router", T0_ESC + 6),
+    # stray escaped quote OUTSIDE any span: not a delimiter under the strip
+    # rule — row keeps (scanner: bare value `\` then garbage quote)
+    ("e8", 0, "heroku", 'odd=\\" sample#load_avg_1m=0.10 sample#load_avg_5m=0.20 sample#load_avg_15m=0.30 source=web.4', "web.8", T0_ESC + 7),
+]
+
+
+@pytest.mark.parametrize("parser", ["pandas", "native", "native_fast"])
+def test_escaped_quotes_match_oracle(spark, parser):
+    df = make_transcripts_df(spark, ESC_ROWS)
+    parsed = parse.with_parsed(classify.classify(df), parser=parser)
+    got_sinks = {name: sorted(tuple(r) for r in b(parsed).collect()) for name, b in parse.SINK_BUILDERS.items()}
+    exp_sinks, exp_counters = oracle.process_rows(
+        [
+            {"conv_id": c, "turn_idx": i, "role": r, "text": x, "tool": tl, "time_us": t}
+            for (c, i, r, x, tl, t) in ESC_ROWS
+        ]
+    )
+    for name in exp_sinks:
+        assert got_sinks[name] == sorted(map(tuple, exp_sinks[name])), f"sink {name} ({parser})"
+    assert parsed.filter("p.parse_error").count() == exp_counters.get("logfmt_parse_error", 0)
+    # decode spot-checks (pin the oracle itself, not just agreement)
+    mem = {r["source"] for r in parse.sink_dyno_mem(parsed).collect()}
+    assert 'web"1.a' in mem
+    load = {r["source"] for r in parse.sink_dyno_load(parsed).collect()}
+    assert {'we b"x', "web.9", "web.4"} == load  # e6 dropped (unterminated)
+    codes = {r["code"] for r in parse.sink_events_router(parsed).collect()}
+    assert codes == {"H12", 'H"9'}
+
+
+def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
+    """The DuckDB SQL oracle (oracle_sql.py) must implement the same escape
+    contract as the engines and the scanner port — the driver's sf0.01 gate
+    never exercises escapes (datagen emits none), so this fixture does."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lumbermill_spark import oracle_sql
+
+    path = str(tmp_path / "esc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in ESC_ROWS], type=pa.string()),
+                "turn_idx": pa.array([r[1] for r in ESC_ROWS], type=pa.int32()),
+                "role": pa.array([r[2] for r in ESC_ROWS], type=pa.string()),
+                "text": pa.array([r[3] for r in ESC_ROWS], type=pa.string()),
+                "tool": pa.array([r[4] for r in ESC_ROWS], type=pa.string()),
+                "ts": pa.array([r[5] for r in ESC_ROWS], type=pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        path,
+    )
+    exp_sinks, exp_counters = oracle.process_rows(
+        [
+            {"conv_id": c, "turn_idx": i, "role": r, "text": x, "tool": tl, "time_us": t}
+            for (c, i, r, x, tl, t) in ESC_ROWS
+        ]
+    )
+    con = duckdb.connect()
+    for name, sql_fn in (
+        ("router", oracle_sql.sink_router),
+        ("events_router", oracle_sql.sink_events_router),
+        ("dyno_mem", oracle_sql.sink_dyno_mem),
+        ("dyno_load", oracle_sql.sink_dyno_load),
+        ("events_dyno", oracle_sql.sink_events_dyno),
+    ):
+        got = sorted(tuple(r) for r in con.execute(sql_fn(path)).fetchall())
+        assert got == sorted(map(tuple, exp_sinks[name])), f"duckdb sink {name}"
+    (nerr,) = con.execute(
+        oracle_sql.classified_cte(path) + "SELECT count(*) FROM p WHERE parse_error"
+    ).fetchone()
+    assert nerr == exp_counters.get("logfmt_parse_error", 0)
+
+
 def test_specific_policies(spark):
     """Spot-check the asymmetric error policies directly (FIXTURES.md §2)."""
     from tests import fixtures as FX
