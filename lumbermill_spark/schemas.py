@@ -186,14 +186,27 @@ LOAD_KEYS = {
 # inexpressible in RE2, which has no lookbehind).
 #
 # ADVERSARIAL_RX anchors at the span OPENER (quotes only open right after
-# '=', per the grammar above) and stops at the FIRST terminator — no
-# backtracking in java.util.regex, single linear pass in RE2. The naive
-# '"[^"]*[\s=][^"]*"' form cost native_fast +64% at sf0.1. \s (not just
-# space/tab) so a quoted \r or \f before a `key=` sequence cannot leak the
-# fast patterns onto an unsafe row; '\' in the terminator class routes every
-# escape-bearing span to the quote-parity patterns, which are the only ones
-# whose quoted-value branches understand escapes.
-ADVERSARIAL_RX = r'="[^"=\s\\]*[=\s\\]'
+# '=', per the grammar above). A quoted span is only UNSAFE for the fast
+# patterns when its content could host a pattern anchor, i.e. when it
+# contains
+#   * '=' (every value/extraction pattern needs `key=`),
+#   * '\' (escape semantics: \" does not close the span), or
+#   * a whitespace-anchored BARE router-int keyword (the pat_present probes
+#     `(?:\s)key(?:=|\s)` are the only patterns that fire without '=' —
+#     connect/service/status/bytes, router_msg.go:58-81).
+# A span that merely contains whitespace (desc="Request timeout",
+# desc="Blank app" — ~8% of all rows!) cannot anchor anything and stays on
+# the fast path; flagging on bare \s sent all those rows through the
+# quote-parity crawl and was the real cost of round-3's quote-awareness
+# (+52% on native_fast). Branch 1 stops at the FIRST terminator (content
+# and terminator classes disjoint — no java.util.regex backtracking);
+# branch 2's keyword scan only runs inside spans that survived branch 1.
+# \s (not just space/tab) everywhere so a quoted \r or \f cannot leak the
+# fast patterns onto an unsafe row (round-3 advice, low).
+ADVERSARIAL_RX = (
+    r'="[^"=\\]*[=\\]'
+    r'|="[^"]*\s(?:connect|service|status|bytes)[\s=]'
+)
 # one scanner "character" of a quoted-or-plain region: an escape pair or a
 # byte that is neither '"' nor '\'
 _CH = r'(?:\\.|[^"\\])'
