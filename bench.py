@@ -2,8 +2,10 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <total pipeline sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., plus context keys}
+  {"metric": ..., "value": <median pipeline sec>, "unit": "sec",
+   "queries": {name: median_sec, ...}, "runs": {name: [raw..]}, "sf": ...,
+   plus context keys}. Every query is the MEDIAN of >=3 runs (raw runs kept)
+so driver-round comparisons don't reflect single-run neighbor noise.
 
 The headline metric is the end-to-end parse→enrich→route→aggregate pipeline
 (noop sink — measures compute, not local-disk writeback), reported both with
@@ -34,16 +36,21 @@ def main() -> None:
 
     n_turns = spark.read.parquet(tpath).count()
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
 
-    def timed(name, fn, runs=1):
-        best = None
+    def timed(name, fn, runs=3):
+        # MEDIAN of >=3 runs, raw runs kept in the JSON: single unpinned runs
+        # on a shared host whipsawed round-over-round comparisons by +-35%
+        # (round-3 verdict, wrong #2 / next #5)
+        ts = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        return best
+            ts.append(round(time.time() - t0, 3))
+        ts.sort()
+        raw_runs[name] = ts
+        timings[name] = ts[len(ts) // 2] if runs % 2 else round(sum(ts[len(ts) // 2 - 1 : len(ts) // 2 + 1]) / 2, 3)
+        return timings[name]
 
     def run_pipeline(parser):
         cfg = pipeline.PipelineConfig(parser=parser, sink_format="noop", write_metrics=False)
@@ -51,9 +58,9 @@ def main() -> None:
 
     # one JIT/codegen/python-worker warmup pass, then measured runs
     run_pipeline("pandas")
-    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"), runs=2)
-    timed("pipeline_noop_native", lambda: run_pipeline("native"), runs=2)
-    timed("pipeline_noop_native_fast", lambda: run_pipeline("native_fast"), runs=2)
+    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"))
+    timed("pipeline_noop_native", lambda: run_pipeline("native"))
+    timed("pipeline_noop_native_fast", lambda: run_pipeline("native_fast"))
 
     phase_timings: dict[str, float] = {}
 
@@ -69,7 +76,7 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    timed("pipeline_parquet_sink", run_full_sink, runs=2)
+    timed("pipeline_parquet_sink", run_full_sink)
 
     df = spark.read.parquet(tpath)
 
@@ -118,14 +125,14 @@ def main() -> None:
     if sf < 1.0:
         tpath_sf1 = datagen.ensure_transcripts(1.0)
         cfg1 = pipeline.PipelineConfig(sink_format="noop", write_metrics=False)
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            r1 = pipeline.run(spark, tpath_sf1, "/tmp/lm_bench_noop_sf1", cfg1)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings["pipeline_noop_pandas_sf1"] = round(best, 3)
-        sf1_block = {"sf1_turns": r1.rows_in, "sf1_turns_per_sec": round(r1.rows_in / best, 1)}
+        holder = {}
+
+        def run_sf1():
+            holder["r"] = pipeline.run(spark, tpath_sf1, "/tmp/lm_bench_noop_sf1", cfg1)
+
+        med = timed("pipeline_noop_pandas_sf1", run_sf1)
+        r1 = holder["r"]
+        sf1_block = {"sf1_turns": r1.rows_in, "sf1_turns_per_sec": round(r1.rows_in / med, 1)}
 
     total = timings["pipeline_noop_pandas"]
     out = {
@@ -134,6 +141,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": raw_runs,
         "sink_phases": phase_timings,
         "sf": sf,
         "turns": n_turns,
