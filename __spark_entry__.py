@@ -257,6 +257,18 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return similarity.topk_ivf(_embeds(spark, sf_dir))
 
 
+def _q_sim_ivf_trained(spark, sf_dir):
+    """IVF ANN against the PERSISTED trained quantizer (offline spherical
+    k-means, seeded): the artifact parquet is the contract both this query
+    and the DuckDB oracle read, putting the production trained-quantizer
+    path under the value-exact gate."""
+    from lumbermill_spark.extras import similarity
+
+    path = similarity.ensure_trained_centroids(sf_dir)
+    cents = spark.read.parquet(path).select("cid", "cv")
+    return similarity.topk_ivf(_embeds(spark, sf_dir), centroids=cents)
+
+
 def _q_text_tokens(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -318,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_ivf_trained": _q_sim_ivf_trained,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -353,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
     from lumbermill_spark import oracle_sql as O
 
     from lumbermill_spark import oracle_extras as OX
+    from lumbermill_spark.extras import similarity as _SIM
 
     paths = datagen.ensure_for_sf_dir(SF_ORACLE_DIR)
     tp, fp = paths["transcripts"], paths["frames"]
@@ -367,6 +381,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
         "sim_lsh_topk": OX.sim_lsh_topk(),
         "sim_ivf_topk": OX.sim_ivf_topk(),
+        # ensure_trained_centroids is sessionless (numpy) so the artifact
+        # exists regardless of whether the oracle or the query runs first
+        "sim_ivf_trained": OX.sim_ivf_trained(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
         "text_tokens": OX.text_tokens(),
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),

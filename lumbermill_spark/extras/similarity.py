@@ -117,6 +117,89 @@ def train_centroids(
     return embeddings.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
 
 
+def train_centroids_offline(
+    vectors, k: int = IVF_CENTROIDS, seed: int = 7, max_iter: int = 20
+):
+    """Seeded spherical k-means over a numpy matrix (k-means++ init, Lloyd
+    iterations on L2-normalized vectors, cosine objective) — the OFFLINE
+    twin of train_centroids: byte-deterministic and sessionless, so the
+    quantizer can be trained once, persisted as an artifact, and loaded by
+    the serving job AND the DuckDB oracle alike (how production ANN ships
+    coarse quantizers: train offline on a sample, broadcast everywhere).
+    Returns a (k, dim) float64 matrix of unit-norm centroids."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    # k-means++ init under cosine distance d = 1 - x.c
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents], axis=1), axis=1)
+        d = np.maximum(d, 0.0)
+        probs = d * d
+        s = probs.sum()
+        probs = probs / s if s > 0 else np.full(len(X), 1.0 / len(X))
+        cents.append(X[rng.choice(len(X), p=probs)])
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for i in range(k):
+            members = X[assign == i]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    newC[i] = m / n
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def centroids_path(sf_dir: str) -> str:
+    import os
+
+    from .. import datagen
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(datagen.data_dir(), "ivf_centroids_%s.parquet" % tag)
+
+
+def ensure_trained_centroids(sf_dir: str) -> str:
+    """Train (offline spherical k-means, seeded) and persist the coarse
+    quantizer for an sf_dir's embeddings table; cached like every datagen
+    artifact. The stored parquet (cid int, cv array<double>) is the contract
+    BOTH the Spark query and the DuckDB oracle read — the driver's
+    value-exact gate then covers the real trained-quantizer ANN path
+    (round-3 verdict, next #3), not just the deterministic first-16
+    stand-in."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import datagen
+
+    p = centroids_path(sf_dir)
+    if os.path.exists(p):
+        return p
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    import numpy as np
+
+    X = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    C = train_centroids_offline(X)
+    tbl = pa.table(
+        {
+            "cid": pa.array(range(len(C)), type=pa.int32()),
+            "cv": pa.array([list(map(float, row)) for row in C], type=pa.list_(pa.float64())),
+        }
+    )
+    datagen._write_atomic(tbl, p)
+    return p
+
+
 def default_centroids(embeddings: DataFrame) -> DataFrame:
     """The deterministic quantizer (first IVF_CENTROIDS vectors as cells) —
     replayable by the DuckDB oracle, NOT balanced; see train_centroids."""

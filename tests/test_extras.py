@@ -254,3 +254,34 @@ def test_ivf_trained_quantizer(spark, embeds):
     nq = near.count()
     hits = sum(1 for q, nbrs in got.items() if (q - dedup.EMBED_NEAR_OFFSET) in nbrs)
     assert nq > 0 and hits / nq >= 0.9, f"near-dup recall {hits}/{nq}"
+
+
+def test_offline_trained_quantizer_artifact(spark, embeds, tmp_path, monkeypatch):
+    """The persisted offline quantizer (ensure_trained_centroids): byte-
+    deterministic across regenerations, unit-norm balanced cells, and the
+    Spark query path accepts the stored artifact. This is the quantizer the
+    sim_ivf_trained driver query puts under the DuckDB value-exact gate."""
+    import hashlib
+
+    from lumbermill_spark import datagen
+    from tests.test_extras import SF_DIR as _SF
+
+    monkeypatch.setattr(datagen, "data_dir", lambda: str(tmp_path / ".data"))
+    p1 = similarity.ensure_trained_centroids(_SF)
+    h1 = hashlib.md5(open(p1, "rb").read()).digest()
+    import os
+
+    os.remove(p1)
+    p2 = similarity.ensure_trained_centroids(_SF)
+    assert hashlib.md5(open(p2, "rb").read()).digest() == h1  # retrain == same bytes
+
+    cents = spark.read.parquet(p2)
+    rows = cents.collect()
+    assert len(rows) == similarity.IVF_CENTROIDS
+    for r in rows:
+        assert abs(sum(x * x for x in r["cv"]) - 1.0) < 1e-9  # unit-norm
+    ns = [r["n"] for r in similarity.ivf_cell_stats(embeds, cents).collect()]
+    assert len(ns) == similarity.IVF_CENTROIDS
+    assert max(ns) <= 2.5 * (sum(ns) / len(ns)), f"unbalanced cells: {sorted(ns)}"
+    out = similarity.topk_ivf(embeds, centroids=cents)
+    assert out.count() > 0
