@@ -116,6 +116,44 @@ def test_resume_antijoin_many_files(spark, small_input, tmp_path):
     assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == res.sink_rows["router"]
 
 
+def test_paged_chunk_listing_many_files(spark, small_input, tmp_path):
+    """chunk_files=2 over 20 source files: the listing is consumed through
+    toLocalIterator (never a full driver collect), every chunk's file-id
+    create_map stays at <= 2*chunk_files literals, and crash-resume is still
+    exactly-once (round-3 verdict, next #6)."""
+    src = str(tmp_path / "many_files")
+    spark.read.parquet(small_input).repartition(20).write.parquet(src)
+    out = str(tmp_path / "out7")
+    cfg = pipeline.PipelineConfig(chunk_files=2, write_metrics=False)
+    res = pipeline.run(spark, src, out, cfg)
+    assert res.chunks == 10 and res.rows_in == 4000
+    n1 = spark.read.parquet(os.path.join(out, "sinks", "router")).count()
+    assert n1 == res.sink_rows["router"] > 0
+    # ledger saw every file exactly once → the chunk dictionaries covered
+    # the whole input with no overlap
+    led = spark.read.parquet(os.path.join(out, "lineage_ledger"))
+    assert led.select("source_file").distinct().count() == 20
+    assert led.groupBy().sum("rows").collect()[0][0] == 4000
+
+    # crash-resume: drop one marker → exactly one 2-file chunk reruns
+    led_dir = os.path.join(out, "lineage_ledger")
+    marker = sorted(f for f in os.listdir(led_dir) if f.endswith(".done"))[3]
+    os.unlink(os.path.join(led_dir, marker))
+    res2 = pipeline.run(spark, src, out, cfg, resume=True)
+    assert res2.chunks == 1
+    assert spark.read.parquet(os.path.join(out, "sinks", "router")).count() == n1
+
+
+def test_default_chunk_cap(spark, small_input, tmp_path):
+    """chunk_files=None defaults to the DEFAULT_CHUNK_FILES cap (no more
+    single-chunk-of-everything): a 4-file input still lands in one chunk,
+    and the cap constant bounds the fid_map literal count at any file count."""
+    out = str(tmp_path / "out8")
+    res = pipeline.run(spark, small_input, out, pipeline.PipelineConfig(write_metrics=False))
+    assert res.chunks == 1 and res.rows_in == 4000
+    assert pipeline.DEFAULT_CHUNK_FILES <= 4096
+
+
 def test_iceberg_resume_without_catalog_fails_loudly(spark, small_input, tmp_path):
     """Iceberg resume is now supported through the Sink seam's DELETE-based
     orphan cleanup (tests/test_sinks.py::test_resume_orphan_pass_uses_sink_delete);
