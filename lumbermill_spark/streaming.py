@@ -168,15 +168,109 @@ def sink_freshness_stream(
     )
 
 
+def start_freshness_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    parser: str = "pandas",
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 8,
+):
+    """PRODUCTION freshness twin (round-3 verdict, next #7): the complete-mode
+    memory sink stays test-only; this runs the same incremental max()
+    aggregation in UPDATE mode, so each micro-batch hands foreachBatch only
+    the (token, series) groups whose latest_time actually changed, and those
+    deltas are appended to a parquet log (idempotent batch_id
+    dynamic-overwrite, same retry contract as the sink writes).
+    freshness_view() folds the log back to one row per (token, series) — the
+    classic upsert-log + compaction-view shape a parquet file sink supports
+    at any scale (a table format would replace the log with MERGE)."""
+    agg_df = sink_freshness_stream(spark, input_dir, parser, max_files_per_trigger)
+    log_dir = os.path.join(out_dir, "metrics", "freshness_log")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(log_dir)
+        )
+
+    writer = (
+        agg_df.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_freshness"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def freshness_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current freshness from the update-mode delta log: the latest update
+    per (token, series). Monotone max() means a plain max over the log —
+    no batch_id ordering needed."""
+    log_dir = os.path.join(out_dir, "metrics", "freshness_log")
+    return (
+        spark.read.parquet(log_dir)
+        .groupBy("token", "series")
+        .agg(F.max("latest_time").alias("latest_time"))
+    )
+
+
+def start_windowed_rollup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 1,
+):
+    """PRODUCTION windowed-rollup twin: append-mode parquet FILE sink — each
+    event-time window is written exactly once, when the watermark finalizes
+    it (late rows beyond the watermark are dropped, state is bounded). The
+    tail windows still open at shutdown are emitted by the next run from the
+    checkpoint — the streaming analog of the batch chunk ledger. NB append
+    mode emits a window one micro-batch AFTER the watermark passes it, so a
+    drain needs >1 batch (max_files_per_trigger defaults low)."""
+    rolled = windowed_rollup_stream(spark, input_dir, window, watermark, max_files_per_trigger)
+    flat = rolled.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_requests",
+        "p50_service",
+    )
+    writer = (
+        flat.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(out_dir, "metrics", "router_rollup_windowed"))
+        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_rollup"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def windowed_rollup_stream(
     spark: SparkSession,
     input_dir: str,
     window: str = "1 minute",
     watermark: str = "5 minutes",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """Event-time windowed router-request rollup with late-data watermark —
     the streaming analog of aggregate.router_rollup_windowed."""
-    stream = read_transcript_stream(spark, input_dir)
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     cl = C.classify(stream).withWatermark("ts", watermark)
     router = cl.filter((F.col("msg_class") == S.CLS_ROUTER))
     return router.groupBy(F.window("ts", window)).agg(

@@ -160,3 +160,104 @@ def test_windowed_rollup_stream_matches_batch(spark, stream_input, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_freshness_file_stream_update_mode(spark, stream_input, tmp_path):
+    """PRODUCTION freshness twin: update-mode deltas appended to a parquet
+    log (maxFilesPerTrigger=1 forces 3 micro-batches), folded by
+    freshness_view — must equal batch truth, and the delta log must actually
+    be incremental (later batches re-emit only changed groups)."""
+    from lumbermill_spark import aggregate
+
+    out = str(tmp_path / "fresh_out")
+    q = streaming.start_freshness_stream(
+        spark, stream_input, out, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["token"], r["series"]): r["latest_time"]
+        for r in streaming.freshness_view(spark, out).collect()
+    }
+    parsed = parse.with_parsed(classify.classify(spark.read.parquet(stream_input)))
+    want = {
+        (r["token"], r["series"]): r["latest_time"]
+        for r in aggregate.stale_tokens(
+            parse.sink_dyno_load(parsed), parse.sink_dyno_mem(parsed)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    log = spark.read.parquet(os.path.join(out, "metrics", "freshness_log"))
+    n_batches = log.select("batch_id").distinct().count()
+    assert n_batches >= 2  # multiple micro-batches really happened
+    # update mode = deltas, not complete state: the log holds fewer rows
+    # than n_batches x n_groups (a complete-mode log would hold exactly that)
+    assert log.count() < n_batches * len(got)
+
+    # restart from checkpoint with no new data -> no new log rows
+    n_log = log.count()
+    q2 = streaming.start_freshness_stream(
+        spark, stream_input, out, available_now=True, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "metrics", "freshness_log")).count() == n_log
+
+
+def test_windowed_rollup_file_stream_append_mode(spark, tmp_path):
+    """PRODUCTION windowed-rollup twin: append-mode parquet file sink emits
+    each window exactly once when the watermark finalizes it. Every emitted
+    window must equal the batch truth for that window; tail windows that the
+    watermark never passed stay unemitted (that is the append contract).
+
+    Arrival must be roughly event-time ordered for a drain to match batch
+    truth (a real stream is; the randomly-repartitioned fixture is NOT —
+    its out-of-order files put older rows behind the watermark, which
+    append mode correctly drops as late): each source file here covers a
+    contiguous ~100 s slice, written oldest-first."""
+    from pyspark.sql import functions as F
+    from lumbermill_spark import schemas as S
+    from lumbermill_spark.datagen import ensure_transcripts
+
+    src = str(tmp_path / "ordered_in")
+    base = spark.read.parquet(ensure_transcripts(0.001)).limit(6000)
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    for i in range(3):
+        lo = F.lit(t0) + F.expr(f"INTERVAL {i * 100} SECONDS")
+        hi = F.lit(t0) + F.expr(f"INTERVAL {(i + 1) * 100} SECONDS")
+        part = base.filter((F.col("ts") >= lo) & ((F.col("ts") < hi) | F.lit(i == 2)))
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "roll_out")
+    # the fixture spans ~5 min of event time; a 2-min watermark leaves room
+    # for several windows to finalize during the drain
+    q = streaming.start_windowed_rollup_stream(
+        spark, src, out, watermark="2 minutes", available_now=True
+    )
+    q.awaitTermination(300)
+    stream_input = src
+
+    got = {
+        (r["window_start"], r["window_end"]): (r["n_requests"], r["p50_service"])
+        for r in spark.read.parquet(
+            os.path.join(out, "metrics", "router_rollup_windowed")
+        ).collect()
+    }
+    cl = classify.classify(spark.read.parquet(stream_input))
+    router = cl.filter(F.col("msg_class") == S.CLS_ROUTER)
+    want = {
+        (r["window"]["start"], r["window"]["end"]): (r["n_requests"], r["p50_service"])
+        for r in router.groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.percentile_approx(
+                F.regexp_extract("text", S.ROUTER_INT_KEYS["service"], 1).cast("int"), 0.5
+            ).alias("p50_service"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream {v} != batch {want.get(k)}"
+    # finalized-only: emitted windows are a strict prefix of event time
+    assert len(got) <= len(want)
