@@ -26,6 +26,8 @@ table (input_hint) and skips framing.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -37,48 +39,61 @@ TIME_FMT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # 2006-01-02T15:04:05.000000+00
 TIME_FMT_S = "yyyy-MM-dd'T'HH:mm:ssXXX"  # 2006-01-02T15:04:05+00:00
 
 
+_GO_INT_RX = re.compile(rb"[+-]?[0-9]+")
+
+
 def scan_stream(buf: bytes) -> tuple[list[tuple], bool]:
     """Byte-accurate lpx scan of one drain body. Returns (frames, truncated).
 
-    Ports lpx/reader.go:43-116 semantics exactly: the length field is parsed,
-    six space-delimited header fields are consumed (each decrementing the
+    Ports lpx/reader.go:43-116 semantics exactly: the length field is parsed
+    (strconv.ParseInt grammar: optional sign + digits, nothing else), six
+    space-delimited header fields are consumed (each decrementing the
     remaining byte budget by the bytes read INCLUDING the delimiter, trailing
     spaces trimmed from the value), and the payload is the remaining budget
-    read as raw bytes — embedded newlines and spaces pass through. A body
-    that ends mid-frame reports truncated=True (io.ErrUnexpectedEOF) and the
-    complete prefix is kept."""
+    read as raw bytes — embedded newlines and spaces pass through.
+
+    Error taxonomy = lpx.Reader.Err() exactly (pinned by the fuzz in
+    tests/test_frames.py against an independent byte-level port):
+      * body ends while reading the LENGTH or a HEADER field (no delimiter
+        before EOF) → plain io.EOF, which Err() maps to nil — a CLEAN stop,
+        truncated=False, the complete prefix kept (any partial field bytes
+        are discarded, reader.go:108-113);
+      * non-integer length → strconv error → truncated=True;
+      * body ends inside the PAYLOAD (io.ReadFull short) →
+        io.ErrUnexpectedEOF → truncated=True;
+      * declared length SHORTER than the header (budget goes negative) →
+        frame emitted with nil payload, scan continues, NO error
+        (reader.go:71-83)."""
     out: list[tuple] = []
     i, n = 0, len(buf)
-    try:
-        while i < n:
-            j = buf.index(b" ", i)
-            rem = int(buf[i:j])  # ValueError on garbage → truncated
+    while i < n:
+        j = buf.find(b" ", i)
+        if j < 0:
+            return out, False  # EOF during the length field: Err() == nil
+        if not _GO_INT_RX.fullmatch(buf[i:j]):
+            return out, True  # ParseInt failure is a real error
+        rem = int(buf[i:j])
+        i = j + 1
+        fields = []
+        for _ in range(6):
+            j = buf.find(b" ", i)
+            if j < 0:
+                return out, False  # EOF mid-header: Err() == nil
+            rem -= j + 1 - i
+            fields.append(buf[i:j].rstrip(b" ").decode("utf-8", "replace"))
             i = j + 1
-            fields = []
-            for _ in range(6):
-                j = buf.index(b" ", i)
-                rem -= j + 1 - i
-                fields.append(buf[i:j].rstrip(b" ").decode("utf-8", "replace"))
-                i = j + 1
-            if rem < 0:
-                # reader.go:71-83 lets the byte budget go NEGATIVE when the
-                # declared length is shorter than the header: the frame is
-                # emitted with a nil payload and scanning continues from the
-                # current position — no error. truncated=True is reserved
-                # for genuine mid-frame EOF and missing delimiters.
-                out.append((*fields, ""))
-                continue
-            if i + rem > n:
-                return out, True
-            payload = buf[i : i + rem]
-            i += rem
-            # transcript text is newline-stripped: the declared length counts
-            # the frame-terminating \n as the payload's last byte
-            if payload.endswith(b"\n"):
-                payload = payload[:-1]
-            out.append((*fields, payload.decode("utf-8", "replace")))
-    except ValueError:  # no delimiter / non-integer length
-        return out, True
+        if rem < 0:
+            out.append((*fields, ""))
+            continue
+        if i + rem > n:
+            return out, True  # short payload: io.ErrUnexpectedEOF
+        payload = buf[i : i + rem]
+        i += rem
+        # transcript text is newline-stripped: the declared length counts
+        # the frame-terminating \n as the payload's last byte
+        if payload.endswith(b"\n"):
+            payload = payload[:-1]
+        out.append((*fields, payload.decode("utf-8", "replace")))
     return out, False
 
 

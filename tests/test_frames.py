@@ -102,8 +102,30 @@ def test_scan_stream_golden_multiline_payload():
 
 def test_scan_stream_truncated_body():
     good = _stream_frame("2025-01-01T00:00:00+00:00", "heroku", "router", BODY)
+    # body ends mid-PAYLOAD (headers complete, declared length unsatisfied):
+    # io.ReadFull → io.ErrUnexpectedEOF → truncated, complete prefix kept
+    out, truncated = frames.scan_stream(
+        (good + "999 <158>1 2025-01-01T00:00:01+00:00 host heroku router - parti").encode()
+    )
+    assert truncated and len(out) == 1
+
+
+def test_scan_stream_eof_mid_header_is_clean():
+    """Body ends while reading a HEADER field (no delimiter before EOF):
+    lpx ReadBytes returns io.EOF, which Reader.Err() maps to nil — a clean
+    stop, NOT a truncation error; the partial field bytes are discarded
+    (reader.go:99-113)."""
+    good = _stream_frame("2025-01-01T00:00:00+00:00", "heroku", "router", BODY)
     out, truncated = frames.scan_stream((good + "999 <158>1 partial").encode())
-    assert truncated and len(out) == 1  # complete prefix kept
+    assert not truncated and len(out) == 1
+
+
+def test_scan_stream_garbage_length_is_error():
+    """A length field that strconv.ParseInt rejects is a REAL scan error
+    (Err() non-nil), unlike plain EOF."""
+    good = _stream_frame("2025-01-01T00:00:00+00:00", "heroku", "router", BODY)
+    out, truncated = frames.scan_stream((good + "12xy <158>1 rest here x y z ").encode())
+    assert truncated and len(out) == 1
 
 
 def test_scan_stream_negative_budget_emits_empty_and_continues():
@@ -141,3 +163,110 @@ def test_scan_equals_split_on_fixture(spark):
     s2 = sorted(tup(r) for r in scanned)
     assert s1 == s2
     assert len(s1) > 50
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: scan_stream vs an INDEPENDENT byte-level port of
+# lpx/reader.go (round-3 verdict, next #8). The golden below is written
+# ReadBytes-style (field = read-through-delimiter, budget -= len(g)) so the
+# two implementations share no structure beyond the wire contract.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings, strategies as st
+
+
+def _gold_scan(buf: bytes):
+    frames_ = []
+    pos = 0
+
+    def read_field():
+        nonlocal pos
+        j = buf.find(b" ", pos)
+        if j < 0:
+            raise EOFError
+        g = buf[pos : j + 1]  # INCLUDES the delimiter, like ReadBytes(' ')
+        pos = j + 1
+        return g
+
+    while pos < len(buf):
+        try:
+            g = read_field()
+        except EOFError:
+            return frames_, False  # io.EOF during length → Err() nil
+        if not _re.fullmatch(rb"[+-]?[0-9]+", g[:-1].rstrip(b" ")):
+            return frames_, True  # strconv.ParseInt failure
+        budget = int(g[:-1].rstrip(b" "))
+        vals = []
+        try:
+            for _ in range(6):
+                g = read_field()
+                budget -= len(g)
+                vals.append(g.rstrip(b" ").decode("utf-8", "replace"))
+        except EOFError:
+            return frames_, False  # io.EOF mid-header → Err() nil
+        if budget > 0:
+            if pos + budget > len(buf):
+                return frames_, True  # io.ReadFull short → ErrUnexpectedEOF
+            payload = buf[pos : pos + budget]
+            pos += budget
+            if payload.endswith(b"\n"):
+                payload = payload[:-1]
+            frames_.append((*vals, payload.decode("utf-8", "replace")))
+        else:
+            frames_.append((*vals, ""))
+    return frames_, False
+
+
+_field = st.text(
+    alphabet=st.characters(blacklist_characters=" \x00", codec="utf-8"),
+    min_size=1,
+    max_size=12,
+)
+_payload = st.text(
+    alphabet=st.characters(codec="utf-8", blacklist_characters="\x00"),
+    max_size=40,
+)  # embedded newlines/spaces/unicode all in
+
+
+@st.composite
+def _frame_bytes(draw):
+    priv = draw(st.sampled_from(["<158>1", "<13>1", "<0>9"]))
+    time = draw(st.sampled_from(["2025-01-01T00:00:00+00:00", "2025-01-01T00:00:00.123456+00:00", "notatime"]))
+    host, name, procid, msgid = (draw(_field) for _ in range(4))
+    body = draw(_payload)
+    syslog = f"{priv} {time} {host} {name} {procid} {msgid} {body}".encode()
+    declared = len(syslog) - len(f"{priv} ".encode()) + 1  # +1: trailing \n
+    kind = draw(st.sampled_from(["valid", "valid", "valid", "neg_budget", "too_long", "garbage_len"]))
+    if kind == "valid":
+        length = declared
+    elif kind == "neg_budget":
+        length = draw(st.integers(min_value=-3, max_value=5))
+    elif kind == "too_long":
+        length = declared + draw(st.integers(min_value=1, max_value=50))
+    else:
+        return b"1x2 " + syslog + b"\n"
+    head = f"{len(syslog) + 1} ".encode() if kind == "valid" else f"{length} ".encode()
+    return head + syslog + b"\n"
+
+
+@st.composite
+def _body(draw):
+    parts = draw(st.lists(_frame_bytes(), min_size=0, max_size=5))
+    buf = b"".join(parts)
+    if draw(st.booleans()) and buf:
+        # raw truncation at an arbitrary byte — mid-length, mid-header or
+        # mid-payload depending on where it lands
+        buf = buf[: draw(st.integers(min_value=0, max_value=len(buf) - 1))]
+    if draw(st.booleans()):
+        buf += draw(st.binary(max_size=6).filter(lambda b: b"\x00" not in b))
+    return buf
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_body())
+def test_scan_stream_fuzz_matches_reader_port(buf):
+    got = frames.scan_stream(buf)
+    want = _gold_scan(buf)
+    assert got == want, buf
