@@ -72,6 +72,13 @@ class PipelineConfig:
     # At 10^12 rows this is what keeps the table listable; the extra
     # exchange is tiny vs the parse (sink rows are already filtered).
     sink_repartition: bool = True
+    # submit the five independent sink-write jobs from concurrent threads:
+    # each is a small filtered projection over the shared cached parse pass,
+    # and serial submission leaves most executor slots idle between jobs
+    # (measured: the sink_writes phase is ~40% of the sf0.1 parquet run).
+    # Standard Spark multi-threaded action submission — also what overlaps
+    # straggler tails across output jobs on a real cluster.
+    concurrent_sink_writes: bool = True
     storage_level: StorageLevel = field(default_factory=lambda: StorageLevel.MEMORY_AND_DISK)
 
 
@@ -314,7 +321,8 @@ def run(
             # (cache mode), or 5 class-filtered re-parses where the native
             # msg_class predicate is pushed below the parse UDF (rescan mode)
             cls_of_sink = {v: k for k, v in sink_of.items()}
-            for sink_name, builder in P.SINK_BUILDERS.items():
+
+            def _write_sink(sink_name: str, builder) -> None:
                 if cfg.fanout_mode == "rescan" and not materialize:
                     src = P.with_parsed(
                         classified.filter(F.col("msg_class") == cls_of_sink[sink_name]),
@@ -329,6 +337,19 @@ def run(
                     sdf = sdf.repartition(cfg.n_buckets, "bucket")
                 sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
 
+            if cfg.concurrent_sink_writes:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(P.SINK_BUILDERS)) as ex:
+                    futures = [
+                        ex.submit(_write_sink, name, b) for name, b in P.SINK_BUILDERS.items()
+                    ]
+                    for f in futures:
+                        f.result()  # re-raise the first failure
+            else:
+                for sink_name, builder in P.SINK_BUILDERS.items():
+                    _write_sink(sink_name, builder)
+
             tp = _phase("sink_writes", tp)
             for k, v in chunk_counts.items():
                 cls_totals[k] = cls_totals.get(k, 0) + v
@@ -342,40 +363,56 @@ def run(
                 #   * error codes + rollup re-read the freshly written narrow
                 #     sink chunk (columnar, pre-filtered, ~KBs) instead of
                 #     rescanning the wide parse cache 3 more times.
-                cdf = spark.createDataFrame(
-                    sorted(chunk_counts.items()), "counter string, n long"
-                )
-                sink_writer.write(
-                    cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
-                    os.path.join(out_dir, "metrics", "class_counts"),
-                    chunk_id,
-                    None,
-                )
+                def _m_class_counts() -> None:
+                    cdf = spark.createDataFrame(
+                        sorted(chunk_counts.items()), "counter string, n long"
+                    )
+                    sink_writer.write(
+                        cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
+                        os.path.join(out_dir, "metrics", "class_counts"),
+                        chunk_id,
+                        None,
+                    )
+
                 # read-back goes through the Sink seam: read_chunk returns
                 # None when the chunk wrote zero rows for that sink (an empty
                 # parquet append creates no chunk_id partition — a raw path
                 # read would crash with PATH_NOT_FOUND) and it resolves
                 # catalog tables for the Iceberg sink instead of paths
-                er_chunk = sink_writer.read_chunk(
-                    spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
-                )
-                if er_chunk is not None:
-                    sink_writer.write(
-                        er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
-                        os.path.join(out_dir, "metrics", "router_error_codes"),
-                        chunk_id,
-                        None,
+                def _m_error_codes() -> None:
+                    er_chunk = sink_writer.read_chunk(
+                        spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
                     )
-                router_chunk = sink_writer.read_chunk(
-                    spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
-                )
-                if router_chunk is not None:
-                    sink_writer.write(
-                        agg.router_rollup(router_chunk).coalesce(4),
-                        os.path.join(out_dir, "metrics", "router_rollup"),
-                        chunk_id,
-                        None,
+                    if er_chunk is not None:
+                        sink_writer.write(
+                            er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
+                            os.path.join(out_dir, "metrics", "router_error_codes"),
+                            chunk_id,
+                            None,
+                        )
+
+                def _m_router_rollup() -> None:
+                    router_chunk = sink_writer.read_chunk(
+                        spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
                     )
+                    if router_chunk is not None:
+                        sink_writer.write(
+                            agg.router_rollup(router_chunk).coalesce(4),
+                            os.path.join(out_dir, "metrics", "router_rollup"),
+                            chunk_id,
+                            None,
+                        )
+
+                metric_jobs = (_m_class_counts, _m_error_codes, _m_router_rollup)
+                if cfg.concurrent_sink_writes:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=len(metric_jobs)) as ex:
+                        for f in [ex.submit(j) for j in metric_jobs]:
+                            f.result()
+                else:
+                    for j in metric_jobs:
+                        j()
 
             tp = _phase("metrics", tp)
             # lineage ledger commit — AFTER sink writes succeeded (from the
