@@ -23,7 +23,7 @@ automatically — no hand-rolled combiners.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import schemas as S
@@ -187,30 +187,30 @@ def top_tokens(router_sink: DataFrame, k: int = 10) -> DataFrame:
 DELIVERY_WINDOW_US = 1_000_000  # the poster's 1 s flush tick (poster.go:53)
 
 
-def delivery_size_rollup(parsed: DataFrame) -> DataFrame:
-    """poster.go:35-38 ``<sink>.deliver.sizes`` analog: distribution of points
-    per DELIVERY, where a delivery is one poster flush group — (sink series,
-    token, 1-second event-time bucket) — the deterministic batch replay of
-    'drain ≤1 s of channel, group by SeriesName()' (poster.go:62-82; series
-    name = <seriesName>.<token>, points.go:42-44).
-
-    ONE pass over the parsed frame (the sink label is a when-chain, not a
-    5-way union that would re-run the fenced parse UDF per branch); integer
-    µs floor-division bucketing (engine-portable, like router_rollup_windowed)
-    and exact percentiles over all deliveries (same policy as
-    batch_size_rollup). Completes SURVEY §2.1 #24's last sliver."""
+def sink_label_expr() -> Column:
+    """The delivery's sink series as a when-chain over the parsed frame (NOT
+    a 5-way union, which would re-run the fenced parse UDF per branch);
+    NULL for rows no sink keeps (drops, empty sources, unparsed classes)."""
     perr = F.col("p.parse_error")
     src = F.col("p.source")
     mc = F.col("msg_class")
-    sink = (
+    return (
         F.when((mc == S.CLS_ROUTER) & ~perr, S.SINK_ROUTER)
         .when((mc == S.CLS_ROUTER_ERROR) & ~perr, S.SINK_EVENTS_ROUTER)
         .when((mc == S.CLS_DYNO_MEM) & ~perr & (src != ""), S.SINK_DYNO_MEM)
         .when((mc == S.CLS_DYNO_LOAD) & ~perr & (src != ""), S.SINK_DYNO_LOAD)
         .when((mc == S.CLS_DYNO_ERROR) & ~perr, S.SINK_EVENTS_DYNO)
     )
-    sizes = (
-        parsed.select(sink.alias("sink"), "token", "time")
+
+
+def delivery_log(parsed: DataFrame) -> DataFrame:
+    """One row per DELIVERY — (sink, token, 1-second event-time bucket) with
+    its point count — the deterministic batch replay of 'drain ≤1 s of
+    channel, group by SeriesName()' (poster.go:62-82; series name =
+    <seriesName>.<token>, points.go:42-44). Shared by the batch rollup and
+    the streaming twin (streaming.start_delivery_log_stream)."""
+    return (
+        parsed.select(sink_label_expr().alias("sink"), "token", "time")
         .filter(F.col("sink").isNotNull())
         .withColumn(
             "window_start_us",
@@ -219,6 +219,15 @@ def delivery_size_rollup(parsed: DataFrame) -> DataFrame:
         .groupBy("sink", "token", "window_start_us")
         .agg(F.count("*").alias("sz"))
     )
+
+
+def delivery_size_rollup(parsed: DataFrame) -> DataFrame:
+    """poster.go:35-38 ``<sink>.deliver.sizes`` analog: per-sink distribution
+    of points per delivery (delivery_log above); integer µs floor-division
+    bucketing (engine-portable, like router_rollup_windowed) and exact
+    percentiles over all deliveries (same policy as batch_size_rollup).
+    Completes SURVEY §2.1 #24's last sliver."""
+    sizes = delivery_log(parsed)
     return sizes.groupBy("sink").agg(
         F.count("*").alias("n_deliveries"),
         F.round(F.avg("sz"), 6).alias("mean_sz"),

@@ -261,6 +261,53 @@ def start_windowed_rollup_stream(
     return writer.start()
 
 
+def start_delivery_log_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    parser: str = "pandas",
+    watermark: str = "2 minutes",
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of aggregate.delivery_log — the poster's per-flush
+    delivery sizes (poster.go:35-38,62-82) maintained incrementally: each
+    (sink, token, 1-second event-time window) delivery row is emitted
+    exactly once when the watermark finalizes it, through the append-mode
+    parquet file sink. aggregate.delivery_size_rollup-style distributions
+    are then a read-side aggregation over the log."""
+    from . import aggregate as agg
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    cl = C.classify(stream).withWatermark("ts", watermark)
+    parsed = P.with_parsed(cl, parser=parser)
+    rows = parsed.select(
+        agg.sink_label_expr().alias("sink"), "token", "ts"
+    ).filter(F.col("sink").isNotNull())
+    log = rows.groupBy("sink", "token", F.window("ts", "1 second")).agg(
+        F.count("*").alias("sz")
+    )
+    flat = log.select(
+        "sink",
+        "token",
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "sz",
+    )
+    writer = (
+        flat.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(out_dir, "metrics", "delivery_log"))
+        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_delivery"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def windowed_rollup_stream(
     spark: SparkSession,
     input_dir: str,

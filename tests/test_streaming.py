@@ -204,22 +204,16 @@ def test_freshness_file_stream_update_mode(spark, stream_input, tmp_path):
     assert spark.read.parquet(os.path.join(out, "metrics", "freshness_log")).count() == n_log
 
 
-def test_windowed_rollup_file_stream_append_mode(spark, tmp_path):
-    """PRODUCTION windowed-rollup twin: append-mode parquet file sink emits
-    each window exactly once when the watermark finalizes it. Every emitted
-    window must equal the batch truth for that window; tail windows that the
-    watermark never passed stay unemitted (that is the append contract).
-
-    Arrival must be roughly event-time ordered for a drain to match batch
-    truth (a real stream is; the randomly-repartitioned fixture is NOT —
-    its out-of-order files put older rows behind the watermark, which
-    append mode correctly drops as late): each source file here covers a
-    contiguous ~100 s slice, written oldest-first."""
+@pytest.fixture(scope="module")
+def ordered_stream_input(spark, tmp_path_factory):
+    """Event-time-ORDERED arrival: each source file covers a contiguous
+    ~100 s slice, written oldest-first. Append-mode streaming tests need
+    this (a real stream arrives roughly in order; the randomly-repartitioned
+    fixture does NOT — its out-of-order files put older rows behind the
+    watermark, which append mode correctly drops as late)."""
     from pyspark.sql import functions as F
-    from lumbermill_spark import schemas as S
-    from lumbermill_spark.datagen import ensure_transcripts
 
-    src = str(tmp_path / "ordered_in")
+    src = str(tmp_path_factory.mktemp("ordered_in"))
     base = spark.read.parquet(ensure_transcripts(0.001)).limit(6000)
     t0 = base.agg(F.min("ts")).collect()[0][0]
     for i in range(3):
@@ -227,7 +221,18 @@ def test_windowed_rollup_file_stream_append_mode(spark, tmp_path):
         hi = F.lit(t0) + F.expr(f"INTERVAL {(i + 1) * 100} SECONDS")
         part = base.filter((F.col("ts") >= lo) & ((F.col("ts") < hi) | F.lit(i == 2)))
         part.coalesce(1).write.mode("append").parquet(src)
+    return src
 
+
+def test_windowed_rollup_file_stream_append_mode(spark, ordered_stream_input, tmp_path):
+    """PRODUCTION windowed-rollup twin: append-mode parquet file sink emits
+    each window exactly once when the watermark finalizes it. Every emitted
+    window must equal the batch truth for that window; tail windows that the
+    watermark never passed stay unemitted (that is the append contract)."""
+    from pyspark.sql import functions as F
+    from lumbermill_spark import schemas as S
+
+    src = ordered_stream_input
     out = str(tmp_path / "roll_out")
     # the fixture spans ~5 min of event time; a 2-min watermark leaves room
     # for several windows to finalize during the drain
@@ -260,4 +265,34 @@ def test_windowed_rollup_file_stream_append_mode(spark, tmp_path):
     for k, v in got.items():
         assert want.get(k) == v, f"window {k}: stream {v} != batch {want.get(k)}"
     # finalized-only: emitted windows are a strict prefix of event time
+    assert len(got) <= len(want)
+
+
+def test_delivery_log_stream_matches_batch(spark, ordered_stream_input, tmp_path):
+    """Streaming delivery log (poster deliver.sizes twin): every finalized
+    (sink, token, 1s-window) row emitted by the append-mode file sink must
+    equal the batch delivery_log row for that key, and a drain over ordered
+    arrivals must finalize a non-trivial prefix."""
+    from lumbermill_spark import aggregate
+
+    src = ordered_stream_input
+    out = str(tmp_path / "dlog_out")
+    q = streaming.start_delivery_log_stream(
+        spark, src, out, watermark="2 minutes", available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["sink"], r["token"], r["window_start_us"]): r["sz"]
+        for r in spark.read.parquet(os.path.join(out, "metrics", "delivery_log")).collect()
+    }
+    parsed = parse.with_parsed(classify.classify(spark.read.parquet(src)))
+    want = {
+        (r["sink"], r["token"], r["window_start_us"]): r["sz"]
+        for r in aggregate.delivery_log(parsed).collect()
+    }
+    assert len(got) > 100
+    for k, v in got.items():
+        assert want.get(k) == v, f"delivery {k}: stream {v} != batch {want.get(k)}"
+    # append mode emits only watermark-finalized windows — a prefix of batch
     assert len(got) <= len(want)
