@@ -159,12 +159,25 @@ def train_centroids_offline(
 
 
 def centroids_path(sf_dir: str) -> str:
+    """Cache path for an sf_dir's trained quantizer, keyed by a CONTENT
+    fingerprint of its embeddings file (md5 of the bytes), not just the
+    directory basename: two datasets that happen to share a basename get
+    distinct artifacts, and regenerating the embeddings invalidates the
+    cache — the same pure-function-of-the-data property the datagen
+    artifacts keep."""
+    import hashlib
     import os
 
     from .. import datagen
 
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "embeddings.parquet"), "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            h.update(block)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(datagen.data_dir(), "ivf_centroids_%s.parquet" % tag)
+    return os.path.join(
+        datagen.data_dir(), "ivf_centroids_%s_%s.parquet" % (tag, h.hexdigest()[:12])
+    )
 
 
 def ensure_trained_centroids(sf_dir: str) -> str:

@@ -73,6 +73,8 @@ def scan_stream(buf: bytes) -> tuple[list[tuple], bool]:
         if not _GO_INT_RX.fullmatch(buf[i:j]):
             return out, True  # ParseInt failure is a real error
         rem = int(buf[i:j])
+        if not (-(2**63) <= rem < 2**63):
+            return out, True  # strconv.ParseInt(.., 10, 64) ErrRange
         i = j + 1
         fields = []
         for _ in range(6):

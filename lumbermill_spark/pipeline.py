@@ -79,6 +79,17 @@ class PipelineConfig:
     # Standard Spark multi-threaded action submission — also what overlaps
     # straggler tails across output jobs on a real cluster.
     concurrent_sink_writes: bool = True
+    # which catalog-table (fs_managed=False) orphan chunks resume may DELETE:
+    #   'owned' (default) — only chunk ids whose run_id this out_dir's ledger
+    #     owns (begin/done markers), so a concurrent deployment sharing the
+    #     catalog namespace keeps its rows. Migration caveat: a run from
+    #     BEFORE run registration existed that crashed on its very first
+    #     chunk left no marker at all and is indistinguishable from a
+    #     foreign deployment — its rows are NOT cleaned under 'owned';
+    #   'all' — the pre-scoping behavior (delete every marker-less chunk in
+    #     the table): use once to migrate such a deployment, ONLY when no
+    #     other deployment shares the namespace.
+    orphan_scope: str = "owned"
     storage_level: StorageLevel = field(default_factory=lambda: StorageLevel.MEMORY_AND_DISK)
 
 
@@ -167,7 +178,7 @@ def run(
                 for m in ("class_counts", "router_error_codes", "router_rollup")
             ]:
                 for cid in sorted(sink_writer.list_chunk_ids(spark, tbl_path) - done):
-                    if cid.rsplit("_", 1)[0] not in owned:
+                    if cfg.orphan_scope != "all" and cid.rsplit("_", 1)[0] not in owned:
                         continue  # another deployment's chunk — not ours to undo
                     sink_writer.delete_chunk(spark, tbl_path, cid)
                     orphans.append(f"{tbl_path}#chunk_id={cid}")
@@ -202,231 +213,237 @@ def run(
     rows_in = 0
     n_chunks = 0
     phases: dict[str, float] = {}
+    # ONE thread pool for the whole run (sink + metric job submission): a
+    # per-chunk pool would churn Python threads — and, under py4j's pinned
+    # thread mode, matching JVM threads — once per chunk at 10^3-chunk scale
+    pool = None
+    if cfg.concurrent_sink_writes:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=len(P.SINK_BUILDERS), thread_name_prefix="lm-write")
+
+    def _run_jobs(jobs) -> None:
+        if pool is None:
+            for j in jobs:
+                j()
+        else:
+            for f in [pool.submit(j) for j in jobs]:
+                f.result()  # re-raise the first failure
 
     def _phase(name: str, t_start: float) -> float:
         now = time.time()
         phases[name] = round(phases.get(name, 0.0) + (now - t_start), 3)
         return now
 
-    for ci, chunk in enumerate(_iter_chunks()):
-        if n_chunks == 0 and cfg.sink_format != "noop":
-            # claim the run BEFORE the first sink append: a crash between an
-            # append and the chunk's .done marker must leave a chunk id that
-            # a later resume recognizes as ours (lineage.owned_run_ids)
-            lin.register_run(spark, out_dir, run_id)
-        n_chunks = ci + 1
-        chunk_id = "%s_%04d" % (run_id, ci)
-        # source_file is consumed ONLY by the summary aggregation and the
-        # lineage ledger — never by a sink — yet as a raw path string it is
-        # the widest column on the routing shuffle (~90 B/row vs the ~50 B
-        # everything-else-compressed). Dictionary-encode it to a small int
-        # against the chunk's own file list (driver-known, bounded by
-        # chunk_files at scale) and map back driver-side after the collect.
-        fid_map = F.create_map(
-            *[F.lit(x) for i, f in enumerate(chunk) for x in (f, i)]
-        )
-        df = spark.read.parquet(*chunk).withColumn(
-            "file_id", fid_map[F.col("_metadata.file_path")].cast("int")
-        )
-        from . import classify as C
-
-        classified = C.classify(df)
-        if cfg.enrich:
-            classified = enrich_mod.enrich(classified, dims)
-        parsed = P.with_parsed(classified, parser=cfg.parser)
-        parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
-        # prune to exactly what the sinks/metrics/lineage consume before the
-        # persist — at 10^12 rows the cache/shuffle footprint is the limiting
-        # factor. After the parse, the raw text is only consumed by the
-        # events_dyno sink's `message` column (drain.go:187), i.e. dyno_error
-        # rows (~3%); nulling it elsewhere cuts the shuffled+cached bytes by
-        # an order of magnitude with zero semantic change.
-        parsed = parsed.withColumn(
-            "text", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("text"))
-        ).withColumn(
-            # `tool` is likewise only consumed by the events_dyno sink
-            # (what=Procid + dyno_type, drain.go:177-188) — null it for the
-            # other ~97% of rows, same trick as text
-            "tool", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("tool"))
-        )
-        # turn_idx is consumed by nothing downstream of the parse except the
-        # salt lane — fold it into a 4-byte salt column and drop the rest
-        parsed = parsed.withColumn("salt", route.salt_expr(F.col("turn_idx"), cfg.n_salts))
-        keep = ["token", "time", "tool", "text", "msg_class", "p", "bucket", "file_id", "salt"]
-        parsed = parsed.select(*[c for c in keep if c in parsed.columns])
-        if cfg.route_shuffle:
-            # encode msg_class (avg ~11-char string) as a tinyint below the
-            # exchange and decode with a when-chain above it — Catalyst's
-            # column pruning keeps the decode on the reduce side, so the
-            # shuffle carries 1 byte instead of offset+string per row
-            enc = F.lit(None).cast("tinyint")
-            dec = F.lit(None).cast("string")
-            for i, c in enumerate(S.ALL_CLASSES):
-                enc = F.when(F.col("msg_class") == c, i).otherwise(enc)
-                dec = F.when(F.col("cls_id") == i, c).otherwise(dec)
-            parsed = parsed.withColumn("cls_id", enc).drop("msg_class")
-            parsed = route.salted_repartition(parsed, nshuffle, salt=F.col("salt"))
-            parsed = parsed.withColumn("msg_class", dec).drop("cls_id")
-        parsed = parsed.drop("salt")
-        # the cache exists for the fan-out (6 downstream consumers in parquet
-        # mode); in noop mode the single fused aggregation is the only
-        # consumer, and in rescan mode each sink re-parses its own class —
-        # either way building the columnar cache would be pure overhead
-        materialize = cfg.sink_format != "noop" and cfg.fanout_mode == "cache"
-        if materialize:
-            parsed = parsed.persist(cfg.storage_level)
-        try:
-            tp = time.time()
-            # ONE grouped aggregation materializes the cache and yields the
-            # per-class counters, all five sink row counts, AND the lineage
-            # frame in a single job (driver-side derivation from a tiny
-            # grouped result — the map-side partial agg keeps it one scan)
-            summary = (
-                parsed.groupBy(
-                    "file_id",
-                    "msg_class",
-                    F.col("p.parse_error").alias("perr"),
-                    (F.col("p.source") == "").alias("src_empty"),
-                )
-                .count()
-                .collect()
+    try:
+        for ci, chunk in enumerate(_iter_chunks()):
+            if n_chunks == 0 and cfg.sink_format != "noop":
+                # claim the run BEFORE the first sink append: a crash between an
+                # append and the chunk's .done marker must leave a chunk id that
+                # a later resume recognizes as ours (lineage.owned_run_ids)
+                lin.register_run(spark, out_dir, run_id)
+            n_chunks = ci + 1
+            chunk_id = "%s_%04d" % (run_id, ci)
+            # source_file is consumed ONLY by the summary aggregation and the
+            # lineage ledger — never by a sink — yet as a raw path string it is
+            # the widest column on the routing shuffle (~90 B/row vs the ~50 B
+            # everything-else-compressed). Dictionary-encode it to a small int
+            # against the chunk's own file list (driver-known, bounded by
+            # chunk_files at scale) and map back driver-side after the collect.
+            fid_map = F.create_map(
+                *[F.lit(x) for i, f in enumerate(chunk) for x in (f, i)]
             )
-            chunk_counts: dict[str, int] = {}
-            lineage_rows: dict[tuple[str, str], int] = {}
-            sink_of = {
-                S.CLS_ROUTER: S.SINK_ROUTER,
-                S.CLS_ROUTER_ERROR: S.SINK_EVENTS_ROUTER,
-                S.CLS_DYNO_MEM: S.SINK_DYNO_MEM,
-                S.CLS_DYNO_LOAD: S.SINK_DYNO_LOAD,
-                S.CLS_DYNO_ERROR: S.SINK_EVENTS_DYNO,
-            }
-            for r in summary:
-                n, mc = r["count"], r["msg_class"]
-                chunk_counts[mc] = chunk_counts.get(mc, 0) + n
-                chunk_counts["lines"] = chunk_counts.get("lines", 0) + n
-                if r["perr"]:
-                    chunk_counts["logfmt_parse_error"] = (
-                        chunk_counts.get("logfmt_parse_error", 0) + n
-                    )
-                src_file = chunk[r["file_id"]]  # decode the dictionary id
-                lineage_rows[(src_file, mc)] = lineage_rows.get((src_file, mc), 0) + n
-                sink = sink_of.get(mc)
-                if sink and not r["perr"]:
-                    if mc in (S.CLS_DYNO_MEM, S.CLS_DYNO_LOAD) and r["src_empty"]:
-                        continue  # empty-source rows silently dropped (drain.go:201,232)
-                    totals[sink] += n
+            df = spark.read.parquet(*chunk).withColumn(
+                "file_id", fid_map[F.col("_metadata.file_path")].cast("int")
+            )
+            from . import classify as C
 
-            tp = _phase("summary", tp)
-            # fan-out: 5 filtered projections over the cached parse pass
-            # (cache mode), or 5 class-filtered re-parses where the native
-            # msg_class predicate is pushed below the parse UDF (rescan mode)
-            cls_of_sink = {v: k for k, v in sink_of.items()}
-
-            def _write_sink(sink_name: str, builder) -> None:
-                if cfg.fanout_mode == "rescan" and not materialize:
-                    src = P.with_parsed(
-                        classified.filter(F.col("msg_class") == cls_of_sink[sink_name]),
-                        parser=cfg.parser,
-                    )
-                else:
-                    src = parsed
-                sdf = builder(src).withColumn(
-                    "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
-                )
-                if cfg.sink_repartition:
-                    sdf = sdf.repartition(cfg.n_buckets, "bucket")
-                sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
-
-            if cfg.concurrent_sink_writes:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=len(P.SINK_BUILDERS)) as ex:
-                    futures = [
-                        ex.submit(_write_sink, name, b) for name, b in P.SINK_BUILDERS.items()
-                    ]
-                    for f in futures:
-                        f.result()  # re-raise the first failure
-            else:
-                for sink_name, builder in P.SINK_BUILDERS.items():
-                    _write_sink(sink_name, builder)
-
-            tp = _phase("sink_writes", tp)
-            for k, v in chunk_counts.items():
-                cls_totals[k] = cls_totals.get(k, 0) + v
-            rows_in += chunk_counts.get("lines", 0)
-            if cfg.write_metrics and cfg.sink_format != "noop":
-                # Metrics derive from what is ALREADY materialized — the way
-                # the reference's health checks and continuous queries read
-                # the written InfluxDB series, never the ingest stream:
-                #   * class_counts comes from the collected summary (a
-                #     driver-side dict — zero extra cluster jobs);
-                #   * error codes + rollup re-read the freshly written narrow
-                #     sink chunk (columnar, pre-filtered, ~KBs) instead of
-                #     rescanning the wide parse cache 3 more times.
-                def _m_class_counts() -> None:
-                    cdf = spark.createDataFrame(
-                        sorted(chunk_counts.items()), "counter string, n long"
-                    )
-                    sink_writer.write(
-                        cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
-                        os.path.join(out_dir, "metrics", "class_counts"),
-                        chunk_id,
-                        None,
-                    )
-
-                # read-back goes through the Sink seam: read_chunk returns
-                # None when the chunk wrote zero rows for that sink (an empty
-                # parquet append creates no chunk_id partition — a raw path
-                # read would crash with PATH_NOT_FOUND) and it resolves
-                # catalog tables for the Iceberg sink instead of paths
-                def _m_error_codes() -> None:
-                    er_chunk = sink_writer.read_chunk(
-                        spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
-                    )
-                    if er_chunk is not None:
-                        sink_writer.write(
-                            er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
-                            os.path.join(out_dir, "metrics", "router_error_codes"),
-                            chunk_id,
-                            None,
-                        )
-
-                def _m_router_rollup() -> None:
-                    router_chunk = sink_writer.read_chunk(
-                        spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
-                    )
-                    if router_chunk is not None:
-                        sink_writer.write(
-                            agg.router_rollup(router_chunk).coalesce(4),
-                            os.path.join(out_dir, "metrics", "router_rollup"),
-                            chunk_id,
-                            None,
-                        )
-
-                metric_jobs = (_m_class_counts, _m_error_codes, _m_router_rollup)
-                if cfg.concurrent_sink_writes:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    with ThreadPoolExecutor(max_workers=len(metric_jobs)) as ex:
-                        for f in [ex.submit(j) for j in metric_jobs]:
-                            f.result()
-                else:
-                    for j in metric_jobs:
-                        j()
-
-            tp = _phase("metrics", tp)
-            # lineage ledger commit — AFTER sink writes succeeded (from the
-            # already-collected summary; no extra cluster job)
-            if cfg.sink_format != "noop":
-                ldf = spark.createDataFrame(
-                    [(f, m, n) for (f, m), n in sorted(lineage_rows.items())],
-                    "source_file string, msg_class string, rows long",
-                )
-                lin.commit_chunk(spark, out_dir, run_id, chunk_id, ldf)
-                tp = _phase("lineage", tp)
-        finally:
+            classified = C.classify(df)
+            if cfg.enrich:
+                classified = enrich_mod.enrich(classified, dims)
+            parsed = P.with_parsed(classified, parser=cfg.parser)
+            parsed = parsed.withColumn("bucket", route.bucket_expr(F.col("token"), cfg.n_buckets))
+            # prune to exactly what the sinks/metrics/lineage consume before the
+            # persist — at 10^12 rows the cache/shuffle footprint is the limiting
+            # factor. After the parse, the raw text is only consumed by the
+            # events_dyno sink's `message` column (drain.go:187), i.e. dyno_error
+            # rows (~3%); nulling it elsewhere cuts the shuffled+cached bytes by
+            # an order of magnitude with zero semantic change.
+            parsed = parsed.withColumn(
+                "text", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("text"))
+            ).withColumn(
+                # `tool` is likewise only consumed by the events_dyno sink
+                # (what=Procid + dyno_type, drain.go:177-188) — null it for the
+                # other ~97% of rows, same trick as text
+                "tool", F.when(F.col("msg_class") == S.CLS_DYNO_ERROR, F.col("tool"))
+            )
+            # turn_idx is consumed by nothing downstream of the parse except the
+            # salt lane — fold it into a 4-byte salt column and drop the rest
+            parsed = parsed.withColumn("salt", route.salt_expr(F.col("turn_idx"), cfg.n_salts))
+            keep = ["token", "time", "tool", "text", "msg_class", "p", "bucket", "file_id", "salt"]
+            parsed = parsed.select(*[c for c in keep if c in parsed.columns])
+            if cfg.route_shuffle:
+                # encode msg_class (avg ~11-char string) as a tinyint below the
+                # exchange and decode with a when-chain above it — Catalyst's
+                # column pruning keeps the decode on the reduce side, so the
+                # shuffle carries 1 byte instead of offset+string per row
+                enc = F.lit(None).cast("tinyint")
+                dec = F.lit(None).cast("string")
+                for i, c in enumerate(S.ALL_CLASSES):
+                    enc = F.when(F.col("msg_class") == c, i).otherwise(enc)
+                    dec = F.when(F.col("cls_id") == i, c).otherwise(dec)
+                parsed = parsed.withColumn("cls_id", enc).drop("msg_class")
+                parsed = route.salted_repartition(parsed, nshuffle, salt=F.col("salt"))
+                parsed = parsed.withColumn("msg_class", dec).drop("cls_id")
+            parsed = parsed.drop("salt")
+            # the cache exists for the fan-out (6 downstream consumers in parquet
+            # mode); in noop mode the single fused aggregation is the only
+            # consumer, and in rescan mode each sink re-parses its own class —
+            # either way building the columnar cache would be pure overhead
+            materialize = cfg.sink_format != "noop" and cfg.fanout_mode == "cache"
             if materialize:
-                parsed.unpersist()
+                parsed = parsed.persist(cfg.storage_level)
+            try:
+                tp = time.time()
+                # ONE grouped aggregation materializes the cache and yields the
+                # per-class counters, all five sink row counts, AND the lineage
+                # frame in a single job (driver-side derivation from a tiny
+                # grouped result — the map-side partial agg keeps it one scan)
+                summary = (
+                    parsed.groupBy(
+                        "file_id",
+                        "msg_class",
+                        F.col("p.parse_error").alias("perr"),
+                        (F.col("p.source") == "").alias("src_empty"),
+                    )
+                    .count()
+                    .collect()
+                )
+                chunk_counts: dict[str, int] = {}
+                lineage_rows: dict[tuple[str, str], int] = {}
+                sink_of = {
+                    S.CLS_ROUTER: S.SINK_ROUTER,
+                    S.CLS_ROUTER_ERROR: S.SINK_EVENTS_ROUTER,
+                    S.CLS_DYNO_MEM: S.SINK_DYNO_MEM,
+                    S.CLS_DYNO_LOAD: S.SINK_DYNO_LOAD,
+                    S.CLS_DYNO_ERROR: S.SINK_EVENTS_DYNO,
+                }
+                for r in summary:
+                    n, mc = r["count"], r["msg_class"]
+                    chunk_counts[mc] = chunk_counts.get(mc, 0) + n
+                    chunk_counts["lines"] = chunk_counts.get("lines", 0) + n
+                    if r["perr"]:
+                        chunk_counts["logfmt_parse_error"] = (
+                            chunk_counts.get("logfmt_parse_error", 0) + n
+                        )
+                    src_file = chunk[r["file_id"]]  # decode the dictionary id
+                    lineage_rows[(src_file, mc)] = lineage_rows.get((src_file, mc), 0) + n
+                    sink = sink_of.get(mc)
+                    if sink and not r["perr"]:
+                        if mc in (S.CLS_DYNO_MEM, S.CLS_DYNO_LOAD) and r["src_empty"]:
+                            continue  # empty-source rows silently dropped (drain.go:201,232)
+                        totals[sink] += n
+
+                tp = _phase("summary", tp)
+                # fan-out: 5 filtered projections over the cached parse pass
+                # (cache mode), or 5 class-filtered re-parses where the native
+                # msg_class predicate is pushed below the parse UDF (rescan mode)
+                cls_of_sink = {v: k for k, v in sink_of.items()}
+
+                def _write_sink(sink_name: str, builder) -> None:
+                    if cfg.fanout_mode == "rescan" and not materialize:
+                        src = P.with_parsed(
+                            classified.filter(F.col("msg_class") == cls_of_sink[sink_name]),
+                            parser=cfg.parser,
+                        )
+                    else:
+                        src = parsed
+                    sdf = builder(src).withColumn(
+                        "bucket", route.bucket_expr(F.col("token"), cfg.n_buckets)
+                    )
+                    if cfg.sink_repartition:
+                        sdf = sdf.repartition(cfg.n_buckets, "bucket")
+                    sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
+
+                _run_jobs(
+                    [
+                        (lambda n=name, b=builder: _write_sink(n, b))
+                        for name, builder in P.SINK_BUILDERS.items()
+                    ]
+                )
+
+                tp = _phase("sink_writes", tp)
+                for k, v in chunk_counts.items():
+                    cls_totals[k] = cls_totals.get(k, 0) + v
+                rows_in += chunk_counts.get("lines", 0)
+                if cfg.write_metrics and cfg.sink_format != "noop":
+                    # Metrics derive from what is ALREADY materialized — the way
+                    # the reference's health checks and continuous queries read
+                    # the written InfluxDB series, never the ingest stream:
+                    #   * class_counts comes from the collected summary (a
+                    #     driver-side dict — zero extra cluster jobs);
+                    #   * error codes + rollup re-read the freshly written narrow
+                    #     sink chunk (columnar, pre-filtered, ~KBs) instead of
+                    #     rescanning the wide parse cache 3 more times.
+                    def _m_class_counts() -> None:
+                        cdf = spark.createDataFrame(
+                            sorted(chunk_counts.items()), "counter string, n long"
+                        )
+                        sink_writer.write(
+                            cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
+                            os.path.join(out_dir, "metrics", "class_counts"),
+                            chunk_id,
+                            None,
+                        )
+
+                    # read-back goes through the Sink seam: read_chunk returns
+                    # None when the chunk wrote zero rows for that sink (an empty
+                    # parquet append creates no chunk_id partition — a raw path
+                    # read would crash with PATH_NOT_FOUND) and it resolves
+                    # catalog tables for the Iceberg sink instead of paths
+                    def _m_error_codes() -> None:
+                        er_chunk = sink_writer.read_chunk(
+                            spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
+                        )
+                        if er_chunk is not None:
+                            sink_writer.write(
+                                er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
+                                os.path.join(out_dir, "metrics", "router_error_codes"),
+                                chunk_id,
+                                None,
+                            )
+
+                    def _m_router_rollup() -> None:
+                        router_chunk = sink_writer.read_chunk(
+                            spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
+                        )
+                        if router_chunk is not None:
+                            sink_writer.write(
+                                agg.router_rollup(router_chunk).coalesce(4),
+                                os.path.join(out_dir, "metrics", "router_rollup"),
+                                chunk_id,
+                                None,
+                            )
+
+                    _run_jobs([_m_class_counts, _m_error_codes, _m_router_rollup])
+
+                tp = _phase("metrics", tp)
+                # lineage ledger commit — AFTER sink writes succeeded (from the
+                # already-collected summary; no extra cluster job)
+                if cfg.sink_format != "noop":
+                    ldf = spark.createDataFrame(
+                        [(f, m, n) for (f, m), n in sorted(lineage_rows.items())],
+                        "source_file string, msg_class string, rows long",
+                    )
+                    lin.commit_chunk(spark, out_dir, run_id, chunk_id, ldf)
+                    tp = _phase("lineage", tp)
+            finally:
+                if materialize:
+                    parsed.unpersist()
+
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     return PipelineResult(
         rows_in=rows_in,

@@ -32,6 +32,20 @@ def read_transcript_stream(spark: SparkSession, input_dir: str, max_files_per_tr
     )
 
 
+def _start(writer, out_dir: str, ckpt_name: str, checkpoint_dir: str | None,
+           available_now: bool, trigger_seconds: int):
+    """Shared writeStream tail: checkpoint default + drain-vs-continuous
+    trigger + start (every start_* entry point funnels through here)."""
+    writer = writer.option(
+        "checkpointLocation", checkpoint_dir or os.path.join(out_dir, ckpt_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def _write_sinks_batch(batch_df: DataFrame, batch_id: int, out_dir: str, parser: str) -> None:
     """One micro-batch: classify → parse → fan-out.
 
@@ -79,12 +93,8 @@ def start_pipeline_stream(
     stream = read_transcript_stream(spark, input_dir)
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: _write_sinks_batch(df, bid, out_dir, parser)
-    ).option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_checkpoint"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    )
+    return _start(writer, out_dir, "_checkpoint", checkpoint_dir, available_now, trigger_seconds)
 
 
 def conv_running_stats_stream(
@@ -199,23 +209,21 @@ def start_freshness_stream(
             .parquet(log_dir)
         )
 
-    writer = (
-        agg_df.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_freshness"))
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    writer = agg_df.writeStream.outputMode("update").foreachBatch(write_batch)
+    return _start(writer, out_dir, "_ckpt_freshness", checkpoint_dir, available_now, trigger_seconds)
 
 
 def freshness_view(spark: SparkSession, out_dir: str) -> DataFrame:
     """Current freshness from the update-mode delta log: the latest update
     per (token, series). Monotone max() means a plain max over the log —
-    no batch_id ordering needed."""
+    no batch_id ordering needed. Before the first micro-batch has written
+    anything the log directory doesn't exist yet — return an empty frame,
+    not PATH_NOT_FOUND (monitoring callers poll this)."""
+    from . import fsio
+
     log_dir = os.path.join(out_dir, "metrics", "freshness_log")
+    if not fsio.exists(spark, log_dir):
+        return spark.createDataFrame([], "token string, series string, latest_time long")
     return (
         spark.read.parquet(log_dir)
         .groupBy("token", "series")
@@ -252,13 +260,8 @@ def start_windowed_rollup_stream(
         flat.writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(out_dir, "metrics", "router_rollup_windowed"))
-        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_rollup"))
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start(writer, out_dir, "_ckpt_rollup", checkpoint_dir, available_now, trigger_seconds)
 
 
 def start_delivery_log_stream(
@@ -299,13 +302,8 @@ def start_delivery_log_stream(
         flat.writeStream.format("parquet")
         .outputMode("append")
         .option("path", os.path.join(out_dir, "metrics", "delivery_log"))
-        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_ckpt_delivery"))
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start(writer, out_dir, "_ckpt_delivery", checkpoint_dir, available_now, trigger_seconds)
 
 
 def windowed_rollup_stream(

@@ -195,9 +195,12 @@ def _gold_scan(buf: bytes):
             g = read_field()
         except EOFError:
             return frames_, False  # io.EOF during length → Err() nil
-        if not _re.fullmatch(rb"[+-]?[0-9]+", g[:-1].rstrip(b" ")):
+        ls = g[:-1].rstrip(b" ")
+        if not _re.fullmatch(rb"[+-]?[0-9]+", ls):
             return frames_, True  # strconv.ParseInt failure
-        budget = int(g[:-1].rstrip(b" "))
+        budget = int(ls)
+        if not (-(2**63) <= budget < 2**63):
+            return frames_, True  # ParseInt(.., 10, 64) ErrRange
         vals = []
         try:
             for _ in range(6):
@@ -242,7 +245,9 @@ def _frame_bytes(draw):
     if kind == "valid":
         length = declared
     elif kind == "neg_budget":
-        length = draw(st.integers(min_value=-3, max_value=5))
+        # includes int64-range overflow values: Go ParseInt errors (ErrRange)
+        # where Python int() happily succeeds
+        length = draw(st.sampled_from([-3, -1, 0, 2, 5, -(2**63) - 1, 2**63, 10**25]))
     elif kind == "too_long":
         length = declared + draw(st.integers(min_value=1, max_value=50))
     else:
