@@ -107,7 +107,8 @@ class PipelineResult:
     seconds: float
     chunks: int
     # wall-clock per phase, summed across chunks: summary (parse+counters),
-    # sinks (fan-out writes), metrics, lineage
+    # fanout_writes (sink writes + chained metric jobs, one concurrent
+    # phase), lineage
     timings: dict[str, float] = field(default_factory=dict)
 
 
@@ -347,8 +348,15 @@ def run(
                 tp = _phase("summary", tp)
                 # fan-out: 5 filtered projections over the cached parse pass
                 # (cache mode), or 5 class-filtered re-parses where the native
-                # msg_class predicate is pushed below the parse UDF (rescan mode)
+                # msg_class predicate is pushed below the parse UDF (rescan
+                # mode). Each metric job is CHAINED onto the one sink write it
+                # actually depends on (error codes ← events_router, rollup ←
+                # router, class_counts ← nothing), so metrics overlap the
+                # other sinks' writes inside the same concurrent phase instead
+                # of waiting for a full barrier — one barrier total, and the
+                # lineage commit still lands strictly after every write.
                 cls_of_sink = {v: k for k, v in sink_of.items()}
+                write_metrics = cfg.write_metrics and cfg.sink_format != "noop"
 
                 def _write_sink(sink_name: str, builder) -> None:
                     if cfg.fanout_mode == "rescan" and not materialize:
@@ -365,69 +373,76 @@ def run(
                         sdf = sdf.repartition(cfg.n_buckets, "bucket")
                     sink_writer.write(sdf, _sink_dir(out_dir, sink_name), chunk_id, "bucket")
 
-                _run_jobs(
-                    [
-                        (lambda n=name, b=builder: _write_sink(n, b))
-                        for name, builder in P.SINK_BUILDERS.items()
-                    ]
-                )
+                # Metrics derive from what is ALREADY materialized — the way
+                # the reference's health checks and continuous queries read
+                # the written InfluxDB series, never the ingest stream:
+                #   * class_counts comes from the collected summary (a
+                #     driver-side dict — zero extra cluster jobs);
+                #   * error codes + rollup re-read the freshly written narrow
+                #     sink chunk (columnar, pre-filtered, ~KBs) instead of
+                #     rescanning the wide parse cache 3 more times. The
+                #     read-back goes through the Sink seam: read_chunk returns
+                #     None when the chunk wrote zero rows for that sink (an
+                #     empty parquet append creates no chunk_id partition — a
+                #     raw path read would crash with PATH_NOT_FOUND) and it
+                #     resolves catalog tables for the Iceberg sink.
+                def _m_class_counts() -> None:
+                    cdf = spark.createDataFrame(
+                        sorted(chunk_counts.items()), "counter string, n long"
+                    )
+                    sink_writer.write(
+                        cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
+                        os.path.join(out_dir, "metrics", "class_counts"),
+                        chunk_id,
+                        None,
+                    )
 
-                tp = _phase("sink_writes", tp)
-                for k, v in chunk_counts.items():
-                    cls_totals[k] = cls_totals.get(k, 0) + v
-                rows_in += chunk_counts.get("lines", 0)
-                if cfg.write_metrics and cfg.sink_format != "noop":
-                    # Metrics derive from what is ALREADY materialized — the way
-                    # the reference's health checks and continuous queries read
-                    # the written InfluxDB series, never the ingest stream:
-                    #   * class_counts comes from the collected summary (a
-                    #     driver-side dict — zero extra cluster jobs);
-                    #   * error codes + rollup re-read the freshly written narrow
-                    #     sink chunk (columnar, pre-filtered, ~KBs) instead of
-                    #     rescanning the wide parse cache 3 more times.
-                    def _m_class_counts() -> None:
-                        cdf = spark.createDataFrame(
-                            sorted(chunk_counts.items()), "counter string, n long"
-                        )
+                def _m_error_codes() -> None:
+                    er_chunk = sink_writer.read_chunk(
+                        spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
+                    )
+                    if er_chunk is not None:
                         sink_writer.write(
-                            cdf.repartition(1),  # not coalesce: see lineage.commit_chunk
-                            os.path.join(out_dir, "metrics", "class_counts"),
+                            er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
+                            os.path.join(out_dir, "metrics", "router_error_codes"),
                             chunk_id,
                             None,
                         )
 
-                    # read-back goes through the Sink seam: read_chunk returns
-                    # None when the chunk wrote zero rows for that sink (an empty
-                    # parquet append creates no chunk_id partition — a raw path
-                    # read would crash with PATH_NOT_FOUND) and it resolves
-                    # catalog tables for the Iceberg sink instead of paths
-                    def _m_error_codes() -> None:
-                        er_chunk = sink_writer.read_chunk(
-                            spark, _sink_dir(out_dir, S.SINK_EVENTS_ROUTER), chunk_id
+                def _m_router_rollup() -> None:
+                    router_chunk = sink_writer.read_chunk(
+                        spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
+                    )
+                    if router_chunk is not None:
+                        sink_writer.write(
+                            agg.router_rollup(router_chunk).coalesce(4),
+                            os.path.join(out_dir, "metrics", "router_rollup"),
+                            chunk_id,
+                            None,
                         )
-                        if er_chunk is not None:
-                            sink_writer.write(
-                                er_chunk.groupBy("code").agg(F.count("*").alias("n")).coalesce(1),
-                                os.path.join(out_dir, "metrics", "router_error_codes"),
-                                chunk_id,
-                                None,
-                            )
 
-                    def _m_router_rollup() -> None:
-                        router_chunk = sink_writer.read_chunk(
-                            spark, _sink_dir(out_dir, S.SINK_ROUTER), chunk_id
-                        )
-                        if router_chunk is not None:
-                            sink_writer.write(
-                                agg.router_rollup(router_chunk).coalesce(4),
-                                os.path.join(out_dir, "metrics", "router_rollup"),
-                                chunk_id,
-                                None,
-                            )
+                _metric_after = {
+                    S.SINK_EVENTS_ROUTER: _m_error_codes,
+                    S.SINK_ROUTER: _m_router_rollup,
+                }
 
-                    _run_jobs([_m_class_counts, _m_error_codes, _m_router_rollup])
+                def _sink_job(sink_name: str, builder) -> None:
+                    _write_sink(sink_name, builder)
+                    if write_metrics and sink_name in _metric_after:
+                        _metric_after[sink_name]()
 
-                tp = _phase("metrics", tp)
+                jobs = [
+                    (lambda n=name, b=builder: _sink_job(n, b))
+                    for name, builder in P.SINK_BUILDERS.items()
+                ]
+                if write_metrics:
+                    jobs.append(_m_class_counts)
+                _run_jobs(jobs)
+
+                tp = _phase("fanout_writes", tp)
+                for k, v in chunk_counts.items():
+                    cls_totals[k] = cls_totals.get(k, 0) + v
+                rows_in += chunk_counts.get("lines", 0)
                 # lineage ledger commit — AFTER sink writes succeeded (from the
                 # already-collected summary; no extra cluster job)
                 if cfg.sink_format != "noop":
