@@ -233,6 +233,67 @@ def _gen_texts(rng: np.random.Generator, cls: np.ndarray, n: int) -> np.ndarray:
             "dyno=heroku.2." + _uuid4(rng, len(i)) + " sample#load_avg_1m=" + _fmt2(rng, len(i), 5.0)
             + " sample#load_avg_5m=" + _fmt2(rng, len(i), 5.0) + " sample#load_avg_15m=" + _fmt2(rng, len(i), 5.0)
         )
+    # adversarial quoted spans: a `key=` / bare-keyword sequence INSIDE a
+    # quoted value. The fast patterns would misread these; they dispatch the
+    # quote-parity patterns in every engine AND the DuckDB oracle, so the
+    # driver's value-exact gate exercises that machinery end-to-end (before
+    # round 4 it only lived in unit fixtures).
+    i = idx("router_adversarial")
+    if len(i):
+        f = _router_fields(rng, len(i))
+        half = rng.random(len(i)) < 0.5
+        # trap A: in-span `status=999` occurs BEFORE the real status — a
+        # first-occurrence (non-parity) extraction would return 999.
+        trap_a = (
+            'at=info note="x status=999 y" method=' + f["method"] + ' path="' + f["path"]
+            + '" host=' + f["hex8"] + ".herokuapp.com request_id=" + f["rid"]
+            + " dyno=web.1 connect=" + f["connect"] + "ms service=" + f["service"]
+            + "ms status=" + f["status"] + " bytes=" + f["bytes"]
+        )
+        # trap B: bare keyword `connect` inside a span with NO real connect
+        # key — a non-parity presence probe would drop the row; the scanner
+        # keeps it with connect=0.
+        trap_b = (
+            'at=info note="has connect inside" method=' + f["method"] + ' path="' + f["path"]
+            + '" host=' + f["hex8"] + ".herokuapp.com request_id=" + f["rid"]
+            + " dyno=web.1 service=" + f["service"] + "ms status=" + f["status"]
+            + " bytes=" + f["bytes"]
+        )
+        text[i] = np.where(half, trap_a, trap_b)
+    i = idx("router_error_escaped")
+    if len(i):
+        k = rng.integers(0, len(_H_CODES), size=len(i))
+        # escaped quotes inside desc (scanner.go qvalue two-byte skip +
+        # unquote): the span carries \" and whitespace → quote-parity path,
+        # and the odd-quote drop rule must NOT count the escaped quotes
+        text[i] = (
+            "at=error code=" + _H_CODES[k] + ' desc="Request \\"timed out\\" upstream"'
+            + " method=GET path=\"/\" host=x.herokuapp.com dyno=web.1 connect=1ms"
+            + " service=30000ms status=503 bytes=0 sock=client"
+        )
+    i = idx("dyno_mem_adversarial")
+    if len(i):
+        # in-span `source=web.99` before the real source: a first-occurrence
+        # extraction would route the point to the wrong dyno
+        text[i] = (
+            'note="fake source=web.99 z" ' + _dyno_prefix(rng, len(i))
+            + " sample#memory_total=" + _fmt2(rng, len(i), 512.0) + "MB sample#memory_rss="
+            + _fmt2(rng, len(i), 256.0) + "MB sample#memory_cache=" + _fmt2(rng, len(i), 0.01)
+            + "MB sample#memory_swap=" + _fmt2(rng, len(i), 0.01) + "MB sample#memory_pgpgin="
+            + _ints(rng, len(i), 0, 400_000) + "pages sample#memory_pgpgout="
+            + _ints(rng, len(i), 0, 400_000) + "pages"
+        )
+    i = idx("dyno_load_escaped")
+    if len(i):
+        # the EXTRACTED source itself is a quoted value with an escaped
+        # quote → decode must yield web"N.M in every engine and the oracle
+        text[i] = (
+            'source="web\\"' + _ints(rng, len(i), 0, 5) + "." + _ints(rng, len(i), 0, 9)
+            + '" dyno=heroku.' + _ints(rng, len(i), 0, 1_000_000) + "." + _uuid4(rng, len(i))
+            + " sample#load_avg_1m=" + _fmt2(rng, len(i), 5.0)
+            + " sample#load_avg_5m=" + _fmt2(rng, len(i), 5.0)
+            + " sample#load_avg_15m=" + _fmt2(rng, len(i), 5.0)
+        )
     i = idx("unknown_heroku")
     if len(i):
         text[i] = rng.choice(_UNKNOWN_HEROKU, len(i))
@@ -258,6 +319,10 @@ _CLASS_MIX = [
     ("router_unterminated", 0.003, "router"),
     ("router_error", 0.05, "router"),
     ("router_error_empty_ints", 0.005, "router"),
+    ("router_adversarial", 0.004, "router"),
+    ("router_error_escaped", 0.002, "router"),
+    ("dyno_mem_adversarial", 0.002, "dyno"),
+    ("dyno_load_escaped", 0.002, "dyno"),
     ("router_blank", 0.02, "router"),
     ("cross_mem_on_router", 0.002, "router"),
     ("dyno_error", 0.03, "dyno"),

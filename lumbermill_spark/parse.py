@@ -33,10 +33,10 @@ whitespace or '='* could be misattributed (the reference scanner tokenizes
 quotes first). Such rows are detected (schemas.ADVERSARIAL_RX) and parsed
 with the quote-parity-prefixed patterns (schemas.quote_aware) that only let
 a key match start after an even number of quotes; all other rows take the
-fast patterns, which are provably identical to the scanner there. The
-pandas parser dispatches PER BATCH SLICE (one adversarial row switches its
-whole class-slice to the QA patterns) — still row-deterministic, because
-the two pattern families agree on every safe row.
+fast patterns, which are provably identical to the scanner there. All
+three parsers dispatch PER ROW (the Arrow parser re-extracts just the
+flagged rows after its fast/mega pass — a sprinkle of adversarial rows
+costs only those rows the parity crawl, never their whole batch slice).
 """
 
 from __future__ import annotations
@@ -201,33 +201,41 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
             pc.bit_wise_and(pc.count_substring(sub, '"'), pa.scalar(1)).to_numpy(zero_copy_only=False) == 1
         )
 
-    def has_adversarial(sub):
-        # any quoted span containing whitespace/'=' in this class slice →
-        # the whole slice takes the quote-parity patterns (safe rows parse
-        # identically under both families, so this stays row-deterministic)
-        return bool(pc.any(pc.match_substring_regex(sub, S.ADVERSARIAL_RX)).as_py())
+    def adv_rows(sub):
+        # PER-ROW unsafe-span detection (schemas.ADVERSARIAL_RX): only the
+        # flagged rows take the quote-parity patterns; everything else stays
+        # on the fast/mega path. Row-level (not slice-level) dispatch
+        # matters once the corpus carries even a sprinkle of adversarial
+        # rows — one such row per 10k-row batch would otherwise route the
+        # entire class slice through the ~5x-cost parity crawl. Exact by
+        # the same argument as before: the two families agree on safe rows.
+        return pc.match_substring_regex(sub, S.ADVERSARIAL_RX).to_numpy(zero_copy_only=False)
 
     # --- router: 4 required ints; present-but-bad ⇒ drop
     idx = np.flatnonzero(cls == S.CLS_ID[S.CLS_ROUTER])
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         err = odd_quotes(sub)
-        if has_adversarial(sub):
-            st, sv, e = _router_perkey(sub, True)
-            status[idx], service[idx] = st, sv
-            err |= e
-        else:
-            # single-pass canonical fast path (schemas.MEGA_ROUTER); rows the
-            # mega misses re-parse under the exact per-key patterns
-            m = pc.extract_regex(sub, S.MEGA_ROUTER)
-            hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
-            status[idx] = _to_i32(pc.struct_field(m, "status"))
-            service[idx] = _to_i32(pc.struct_field(m, "service"))
-            miss = np.flatnonzero(~hit)
-            if len(miss):
-                st, sv, e = _router_perkey(pc.take(sub, pa.array(miss)), False)
-                status[idx[miss]], service[idx[miss]] = st, sv
-                err[miss] |= e
+        adv = adv_rows(sub)
+        # single-pass canonical fast path (schemas.MEGA_ROUTER). A mega HIT
+        # is valid even on an adversarial row: the end-anchored canonical
+        # tail is out-of-span by construction (a line ending inside a span
+        # has odd quotes and drops), so only adversarial MISSES need the
+        # quote-parity per-key pass; safe misses take the fast per-key pass.
+        m = pc.extract_regex(sub, S.MEGA_ROUTER)
+        hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        status[idx] = _to_i32(pc.struct_field(m, "status"))
+        service[idx] = _to_i32(pc.struct_field(m, "service"))
+        miss = np.flatnonzero(~hit & ~adv)
+        if len(miss):
+            st, sv, e = _router_perkey(pc.take(sub, pa.array(miss)), False)
+            status[idx[miss]], service[idx[miss]] = st, sv
+            err[miss] |= e
+        advm = np.flatnonzero(~hit & adv)
+        if len(advm):
+            st, sv, e = _router_perkey(pc.take(sub, pa.array(advm)), True)
+            status[idx[advm]], service[idx[advm]] = st, sv
+            err[advm] |= e
         parse_error[idx] = err
 
     # --- router_error: code kept, ints swallowed
@@ -235,17 +243,22 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
     if len(idx):
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        # head-anchored canonical fast path (schemas.MEGA_ROUTER_ERROR);
-        # misses re-dispatch through the adversarial/fast per-key pair
+        # head-anchored canonical fast path (schemas.MEGA_ROUTER_ERROR, safe
+        # on adversarial rows by quote-first anchoring); misses split
+        # row-level into the fast / quote-parity per-key passes
         m = pc.extract_regex(sub, S.MEGA_ROUTER_ERROR)
         hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
         code_vals = _qb(m, unquote=True)
-        miss = np.flatnonzero(~hit)
-        if len(miss):
-            sub2 = pc.take(sub, pa.array(miss))
-            adv2 = has_adversarial(sub2)
-            fb = _coalesced(sub2, _N_CODE_QA if adv2 else _N_CODE, unquote=adv2)
-            code_vals = pc.replace_with_mask(code_vals, pa.array(~hit), fb)
+        if not hit.all():
+            adv = adv_rows(sub)
+            for mask, pat, unq in (
+                (~hit & ~adv, _N_CODE, False),
+                (~hit & adv, _N_CODE_QA, True),
+            ):
+                rows = np.flatnonzero(mask)
+                if len(rows):
+                    fb = _coalesced(pc.take(sub, pa.array(rows)), pat, unquote=unq)
+                    code_vals = pc.replace_with_mask(code_vals, pa.array(mask), fb)
         ec_scatter.append((idx, code_vals))
 
     # --- dyno_error: Atoi(text[7:9]) or drop
@@ -268,31 +281,37 @@ def parse_fields_udf(cls_id: pa.Array, text: pa.Array) -> pa.Array:
             continue
         sub = pc.take(text_pa, pa.array(idx))
         parse_error[idx] = odd_quotes(sub)
-        if has_adversarial(sub):
-            src, fl, iv = _kv_perkey(sub, fpair[1], ipair[1], _N_SOURCE_QA, unquote=True)
-            src_scatter.append((idx, src))
+        adv = adv_rows(sub)
+        # fast pass for everyone: source sits at the line head, the sample
+        # values in the canonical tail — one per-key source extract for the
+        # slice plus ONE tail extract replaces the 5-7 per-key value passes.
+        # Adversarial rows are then fully re-extracted with the quote-parity
+        # patterns (their fast source could have matched inside a span), and
+        # their appended scatter pair OVERRIDES the fast one (_assemble
+        # applies pairs in order).
+        src_scatter.append((idx, _coalesced(sub, _N_SOURCE)))
+        m = pc.extract_regex(sub, mega)
+        hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        for k in fpair[0]:
+            doubles[k][idx] = _to_f64(pc.struct_field(m, k))
+        for k in ipair[0]:
+            ints[k][idx] = _to_i32(pc.struct_field(m, k))
+        miss = np.flatnonzero(~hit & ~adv)
+        if len(miss):
+            sub2 = pc.take(sub, pa.array(miss))
+            for k, pat in fpair[0].items():
+                doubles[k][idx[miss]] = _to_f64(_ext(sub2, pat))
+            for k, pat in ipair[0].items():
+                ints[k][idx[miss]] = _to_i32(_ext(sub2, pat))
+        advi = np.flatnonzero(adv)
+        if len(advi):
+            suba = pc.take(sub, pa.array(advi))
+            srcq, fl, iv = _kv_perkey(suba, fpair[1], ipair[1], _N_SOURCE_QA, unquote=True)
+            src_scatter.append((idx[advi], srcq))
             for k, v in fl.items():
-                doubles[k][idx] = v
+                doubles[k][idx[advi]] = v
             for k, v in iv.items():
-                ints[k][idx] = v
-        else:
-            # source sits at the line head, the sample values in the
-            # canonical tail — one per-key source extract for the slice plus
-            # ONE tail extract replaces the 5-7 per-key value passes
-            src_scatter.append((idx, _coalesced(sub, _N_SOURCE)))
-            m = pc.extract_regex(sub, mega)
-            hit = pc.is_valid(m).to_numpy(zero_copy_only=False)
-            for k in fpair[0]:
-                doubles[k][idx] = _to_f64(pc.struct_field(m, k))
-            for k in ipair[0]:
-                ints[k][idx] = _to_i32(pc.struct_field(m, k))
-            miss = np.flatnonzero(~hit)
-            if len(miss):
-                sub2 = pc.take(sub, pa.array(miss))
-                for k, pat in fpair[0].items():
-                    doubles[k][idx[miss]] = _to_f64(_ext(sub2, pat))
-                for k, pat in ipair[0].items():
-                    ints[k][idx[miss]] = _to_i32(_ext(sub2, pat))
+                ints[k][idx[advi]] = v
 
     def _assemble(pairs):
         typ = pairs[0][1].type if pairs else pa.string()

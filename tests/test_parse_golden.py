@@ -105,26 +105,25 @@ def test_escaped_quotes_match_oracle(spark, parser):
     assert codes == {"H12", 'H"9'}
 
 
-def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
-    """The DuckDB SQL oracle (oracle_sql.py) must implement the same escape
-    contract as the engines and the scanner port — the driver's sf0.01 gate
-    never exercises escapes (datagen emits none), so this fixture does."""
+def _duckdb_vs_scanner(rows, path):
+    """Pin the DuckDB SQL oracle (oracle_sql.py) against the pure-Python
+    scanner port on a handcrafted row set: every sink row plus the
+    parse_error count must agree."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from lumbermill_spark import oracle_sql
 
-    path = str(tmp_path / "esc.parquet")
     pq.write_table(
         pa.table(
             {
-                "conv_id": pa.array([r[0] for r in ESC_ROWS], type=pa.string()),
-                "turn_idx": pa.array([r[1] for r in ESC_ROWS], type=pa.int32()),
-                "role": pa.array([r[2] for r in ESC_ROWS], type=pa.string()),
-                "text": pa.array([r[3] for r in ESC_ROWS], type=pa.string()),
-                "tool": pa.array([r[4] for r in ESC_ROWS], type=pa.string()),
-                "ts": pa.array([r[5] for r in ESC_ROWS], type=pa.timestamp("us", tz="UTC")),
+                "conv_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+                "role": pa.array([r[2] for r in rows], type=pa.string()),
+                "text": pa.array([r[3] for r in rows], type=pa.string()),
+                "tool": pa.array([r[4] for r in rows], type=pa.string()),
+                "ts": pa.array([r[5] for r in rows], type=pa.timestamp("us", tz="UTC")),
             }
         ),
         path,
@@ -132,7 +131,7 @@ def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
     exp_sinks, exp_counters = oracle.process_rows(
         [
             {"conv_id": c, "turn_idx": i, "role": r, "text": x, "tool": tl, "time_us": t}
-            for (c, i, r, x, tl, t) in ESC_ROWS
+            for (c, i, r, x, tl, t) in rows
         ]
     )
     con = duckdb.connect()
@@ -149,6 +148,22 @@ def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
         oracle_sql.classified_cte(path) + "SELECT count(*) FROM p WHERE parse_error"
     ).fetchone()
     assert nerr == exp_counters.get("logfmt_parse_error", 0)
+
+
+def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
+    """Escape contract in the SQL oracle — the driver's sf0.01 gate never
+    exercises escapes (datagen emits none), so this fixture does."""
+    _duckdb_vs_scanner(ESC_ROWS, str(tmp_path / "esc.parquet"))
+
+
+def test_fixture_corpus_duckdb_oracle_matches_scanner(tmp_path):
+    """The FULL handcrafted fixture corpus (every malformed-input policy,
+    every adversarial quoted-span trap, every mega-pattern miss) through the
+    DuckDB SQL oracle vs the scanner port. Matters because the tightened
+    adversarial predicate leaves ZERO quote-parity rows in the synthetic
+    datagen — without this test the oracle's QA dispatch branch would only
+    ever be exercised by the Spark-engine goldens, never SQL-side."""
+    _duckdb_vs_scanner(tiny_rows(), str(tmp_path / "tiny.parquet"))
 
 
 def test_specific_policies(spark):
