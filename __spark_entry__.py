@@ -166,6 +166,14 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(dedup.augmented_docs(_docs(spark, sf_dir)))
 
 
+def _q_corpus_canonical(spark, sf_dir):
+    """Keep/drop curation plan: one surviving exemplar per near-dup cluster
+    (highest quality, doc_id tiebreak), dropped members pointing at it."""
+    from lumbermill_spark.extras import dedup
+
+    return dedup.canonical_selection(dedup.augmented_docs(_docs(spark, sf_dir)))
+
+
 def _q_stale_tokens(spark, sf_dir):
     from lumbermill_spark import aggregate, parse
 
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_canonical": _q_corpus_canonical,
         "sim_topk_bruteforce": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -378,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": OX.dedup_simhash(),
         "dedup_embed_cosine": OX.dedup_embed_cosine(),
         "dedup_clusters": OX.dedup_clusters(),
+        "corpus_canonical": OX.corpus_canonical(),
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),
         "sim_lsh_topk": OX.sim_lsh_topk(),
         "sim_ivf_topk": OX.sim_ivf_topk(),

@@ -633,3 +633,37 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = COSINE_DUP_
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
+
+
+def canonical_selection(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHOLD) -> DataFrame:
+    """Corpus-cleaning keep/drop PLAN — the step after clustering that the
+    training-data pipeline actually executes: exactly ONE document survives
+    per near-duplicate cluster (highest textstats quality_score, ties to the
+    smallest doc_id — a rule every engine can replay deterministically);
+    every other member is marked dropped with a pointer to its surviving
+    canonical. Output: (doc_id, cluster_id, quality_score, keep,
+    kept_doc_id), one row per input document.
+
+    Scale shape: dedup_clusters' CC labels and this selection both partition
+    on cluster_id, so the join and the two window functions share one
+    co-located shuffle; quality scoring is a native projection. No new scans
+    of the corpus beyond what clustering already does."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, threshold)
+    q = textstats.with_quality(docs).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("kept_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.col("rk") == 1).alias("keep"),
+            "kept_doc_id",
+        )
+    )

@@ -119,6 +119,49 @@ SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
 """
 
 
+def corpus_canonical() -> str:
+    """Keep/drop plan replay (extras.dedup.canonical_selection): the CC
+    closure from dedup_clusters + the text_quality score over the SAME
+    augmented corpus, then one-survivor-per-cluster by (quality DESC,
+    doc_id ASC)."""
+    length = "greatest(length(text), 1)::DOUBLE"
+    ntok = (
+        "greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE"
+    )
+    alpha = f"len(regexp_extract_all(text, '{TS.ALPHA_PAT}')) / {length}"
+    punct = f"len(regexp_extract_all(text, '{TS.PUNCT_PAT}')) / {length}"
+    stop = f"least(len(regexp_extract_all(lower(text), '{TS.stopword_pat('en')}'))::DOUBLE / {ntok}, 1.0)"
+    score = (
+        f"0.25 * ({alpha}) + 0.25 * (1.0 - least(({punct}) * 4.0, 1.0))"
+        f" + 0.25 * ({stop}) + 0.25 * least({ntok} / 100.0, 1.0)"
+    )
+    return f"""
+WITH RECURSIVE {AUG_DOCS},
+{_minhash_cte()},
+{_minhash_pairs_cte()},
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM prs),
+nodes AS MATERIALIZED (SELECT doc_id FROM docs),
+reach(s, t) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+clusters AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+q AS (SELECT doc_id, round({score}, 6) AS quality_score FROM docs),
+j AS (SELECT c.doc_id, c.cluster_id, q.quality_score
+      FROM clusters c JOIN q USING (doc_id)),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC) AS rk,
+    first_value(doc_id) OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC) AS kept_doc_id
+  FROM j)
+SELECT doc_id, cluster_id, quality_score, rk = 1 AS keep, kept_doc_id FROM r
+"""
+
+
 def dedup_ngram_jaccard() -> str:
     return f"""
 WITH {AUG_DOCS},

@@ -285,3 +285,34 @@ def test_offline_trained_quantizer_artifact(spark, embeds, tmp_path, monkeypatch
     assert max(ns) <= 2.5 * (sum(ns) / len(ns)), f"unbalanced cells: {sorted(ns)}"
     out = similarity.topk_ivf(embeds, centroids=cents)
     assert out.count() > 0
+
+
+def test_canonical_selection_plan(spark, docs):
+    """Keep/drop plan: exactly one survivor per cluster (highest quality,
+    doc_id tiebreak), every member pointing at it; exact copies lose to
+    their originals (identical text → quality tie → smaller id wins)."""
+    out = dedup.canonical_selection(dedup.augmented_docs(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    n_docs = docs.count()
+    assert len(out) == len(by_id)  # one row per doc
+    # exactly one keep per cluster, and every member points at it
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in out:
+        members[r["cluster_id"]].append(r)
+    for cid, rows in members.items():
+        keeps = [r for r in rows if r["keep"]]
+        assert len(keeps) == 1, f"cluster {cid}"
+        k = keeps[0]
+        assert all(r["kept_doc_id"] == k["doc_id"] for r in rows)
+        # the survivor is quality-maximal with doc_id tiebreak
+        best = max(rows, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert (k["quality_score"], k["doc_id"]) == (best["quality_score"], best["doc_id"])
+    # exact copies (identical text) lose to the original by the id tiebreak
+    for i in range(0, n_docs, dedup.EXACT_COPY_MOD):
+        copy = by_id[i + dedup.EXACT_ID_OFFSET]
+        assert not copy["keep"] and copy["kept_doc_id"] == by_id[i]["kept_doc_id"]
+    # singletons keep themselves
+    singles = [r for r in out if len(members[r["cluster_id"]]) == 1]
+    assert singles and all(r["keep"] and r["kept_doc_id"] == r["doc_id"] for r in singles)
