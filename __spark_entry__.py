@@ -300,6 +300,14 @@ def _q_text_langid(spark, sf_dir):
     return df.select("doc_id", *["score_" + lg for lg in textstats.LANG_ORDER], "pred_lang")
 
 
+def _q_text_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (sequence packing) via the two-level
+    distributed prefix sum — must equal the oracle's naive global scan."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.pack_shards(_docs(spark, sf_dir))
+
+
 def _q_text_fingerprint(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -344,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_pack_shards": _q_text_pack_shards,
         "text_sample": _q_text_sample,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -398,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),
         "text_fingerprint": OX.text_fingerprint(),
+        "text_pack_shards": OX.text_pack_shards(),
         "text_sample": OX.text_sample(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),

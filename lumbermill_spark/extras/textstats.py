@@ -9,7 +9,7 @@ the single source of truth for both sides (oracle built in oracle_extras.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenization: runs of alphanumerics OR single non-space symbols
@@ -127,5 +127,63 @@ def sampled_lang_counts(docs: DataFrame, fraction: float = 0.1) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled"),
             F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+DEFAULT_SHARD_BUDGET = 2048  # tokens per training shard
+PACK_BUCKET = 4096  # docs per prefix-sum bucket (see pack_shards)
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int = DEFAULT_SHARD_BUDGET,
+    bucket: int = PACK_BUCKET,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget SHARD PACKING — the sequence-packing step before
+    pre-training: documents in doc_id order are assigned to consecutive
+    shards of ~budget_tokens (a document never splits; shard_id =
+    floor(exclusive-prefix-token-count / budget) — deterministic, replayable
+    by a plain running sum in the oracle).
+
+    A global running sum as ONE window (`ORDER BY doc_id` with no partition)
+    would serialize 10^12 rows through a single task. Instead the classic
+    two-level scan: (1) per-bucket token subtotals — a tiny grouped
+    aggregate, #buckets = #docs/bucket rows — are prefix-summed on the
+    driver and broadcast back as exclusive offsets; (2) the in-bucket
+    exclusive cumsum is a window co-partitioned on bucket. Pick `bucket` so
+    #buckets stays ~10^5-10^6 at the target scale (the driver-side prefix is
+    a trivial scan of that many LONGS, not of the data).
+
+    Output: (doc_id, n_tokens, offset_tokens, shard_id) — one row per doc;
+    offset_tokens is the exclusive global prefix, kept so the oracle
+    comparison pins the whole scan, not just the bucketing."""
+    d = df.select("doc_id", bpe_token_count(F.col(text_col)).alias("n_tokens"))
+    d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket).cast("long"))
+    subtot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    acc = 0
+    rows = []
+    for r in sorted(subtot, key=lambda r: r["bucket"]):
+        rows.append((r["bucket"], acc))
+        acc += r["s"]
+    spark = df.sparkSession
+    offsets = F.broadcast(spark.createDataFrame(rows, "bucket long, bucket_offset long"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(offsets, "bucket")
+        .withColumn(
+            "offset_tokens",
+            (F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset_tokens",
+            F.floor(F.col("offset_tokens") / budget_tokens).cast("int").alias("shard_id"),
         )
     )

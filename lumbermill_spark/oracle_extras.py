@@ -388,6 +388,28 @@ FROM documents
 """
 
 
+def text_pack_shards() -> str:
+    """Replay of extras.textstats.pack_shards: the two-level distributed
+    prefix sum collapses to a plain global running sum here — which is the
+    point: the bucketed scan must equal the naive scan exactly."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PAT}')) AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+  FROM t)
+SELECT doc_id, n_tokens, CAST(offset_tokens AS BIGINT) AS offset_tokens,
+  CAST(floor(offset_tokens / {TSX.DEFAULT_SHARD_BUDGET}) AS INT) AS shard_id
+FROM c
+"""
+
+
 def text_quality() -> str:
     length = "greatest(length(text), 1)::DOUBLE"
     ntok = (

@@ -316,3 +316,33 @@ def test_canonical_selection_plan(spark, docs):
     # singletons keep themselves
     singles = [r for r in out if len(members[r["cluster_id"]]) == 1]
     assert singles and all(r["keep"] and r["kept_doc_id"] == r["doc_id"] for r in singles)
+
+
+def test_pack_shards_two_level_scan(spark, docs):
+    """Sequence packing: the bucketed two-level prefix sum must equal a
+    naive global running sum exactly (any bucket width), and shards respect
+    the budget up to one unsplit document of overshoot."""
+    out = {r["doc_id"]: r for r in textstats.pack_shards(docs, bucket=7).collect()}
+    # naive replay
+    toks = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textstats.with_token_counts(docs).select("doc_id", "n_bpe_tokens").collect()
+    }
+    acc = 0
+    budget = textstats.DEFAULT_SHARD_BUDGET
+    for did in sorted(toks):
+        r = out[did]
+        assert (r["n_tokens"], r["offset_tokens"], r["shard_id"]) == (
+            toks[did], acc, acc // budget,
+        ), did
+        acc += toks[did]
+    # shard totals: ≤ budget + the one doc that straddles the boundary
+    from collections import defaultdict
+
+    per_shard = defaultdict(int)
+    for did, n in toks.items():
+        per_shard[out[did]["shard_id"]] += n
+    max_doc = max(toks.values())
+    shard_ids = sorted(per_shard)
+    assert shard_ids == list(range(len(shard_ids)))  # contiguous from 0
+    assert all(tot <= budget + max_doc for tot in per_shard.values())
