@@ -308,6 +308,14 @@ def _q_text_pack_shards(spark, sf_dir):
     return textstats.pack_shards(_docs(spark, sf_dir))
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing >= threshold
+    distinct 5-token shingles with the (synthetic) benchmark split."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.decontaminate(_docs(spark, sf_dir))
+
+
 def _q_text_fingerprint(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -353,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_pack_shards": _q_text_pack_shards,
+        "text_decontaminate": _q_text_decontaminate,
         "text_sample": _q_text_sample,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -408,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": OX.text_langid(),
         "text_fingerprint": OX.text_fingerprint(),
         "text_pack_shards": OX.text_pack_shards(),
+        "text_decontaminate": OX.text_decontaminate(),
         "text_sample": OX.text_sample(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),

@@ -187,3 +187,66 @@ def pack_shards(
             F.floor(F.col("offset_tokens") / budget_tokens).cast("int").alias("shard_id"),
         )
     )
+
+
+CONTAM_SHINGLE_W = 5  # whitespace-token shingle width
+CONTAM_THRESHOLD = 3  # distinct shared shingles ⇒ contaminated
+CONTAM_BENCH_MOD = 41  # synthetic benchmark membership: doc_id % MOD == 0
+
+
+def _ws_shingles(text: Column, w: int) -> Column:
+    """Distinct w-token whitespace shingles; a doc shorter than w tokens
+    contributes its whole token run as one shingle. Empty shingles are
+    filtered at the call sites (an empty doc must not match another empty
+    doc)."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_mod: int = CONTAM_BENCH_MOD,
+    w: int = CONTAM_SHINGLE_W,
+    threshold: int = CONTAM_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — flag training documents that overlap an
+    evaluation set: a candidate is contaminated when it shares >= threshold
+    DISTINCT w-token shingles with ANY benchmark document (the standard
+    n-gram-overlap test-set leakage check). The synthetic benchmark split is
+    doc_id % bench_mod == 0 (deterministic, oracle-replayable); a real
+    deployment passes its benchmark table instead.
+
+    Scale shape: the benchmark shingle set is tiny by nature (eval sets are
+    thousands of docs, not billions) — broadcast to an equality join against
+    the exploded candidate shingles; never a cross product. At real scale
+    the join key would be a 16-byte shingle hash; the raw string is kept
+    here so DuckDB replays byte-for-byte.
+
+    Output: one row per NON-benchmark document —
+    (doc_id, n_hit_shingles, contaminated)."""
+    is_bench = F.col("doc_id") % bench_mod == 0
+    sh = df.select("doc_id", F.explode(_ws_shingles(F.col(text_col), w)).alias("s")).filter(
+        F.col("s") != ""
+    )
+    bench_sh = sh.filter(is_bench).select("s").distinct()
+    cand_sh = sh.filter(~is_bench)
+    hits = (
+        cand_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hit_shingles"))
+    )
+    cands = df.filter(~is_bench).select("doc_id")
+    return (
+        cands.join(hits, "doc_id", "left")
+        .withColumn("n_hit_shingles", F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("int"))
+        .withColumn("contaminated", F.col("n_hit_shingles") >= threshold)
+    )

@@ -410,6 +410,37 @@ FROM c
 """
 
 
+def text_decontaminate() -> str:
+    """Replay of extras.textstats.decontaminate: distinct w-token shingles,
+    benchmark split doc_id %% MOD == 0, contaminated when >= threshold
+    distinct shingles are shared with the benchmark set."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    w = TSX.CONTAM_SHINGLE_W
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= {w}
+      THEN [array_to_string(ts[i:i+{w - 1}], ' ') FOR i IN range(1, len(ts) - {w - 2})]
+      ELSE [array_to_string(ts, ' ')] END)) AS s
+  FROM tok),
+sh AS (SELECT * FROM sh0 WHERE s <> ''),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {TSX.CONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT c.doc_id, count(DISTINCT c.s) AS n_hit_shingles
+  FROM sh c JOIN bench USING (s)
+  WHERE c.doc_id % {TSX.CONTAM_BENCH_MOD} <> 0
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(h.n_hit_shingles, 0) AS INT) AS n_hit_shingles,
+  coalesce(h.n_hit_shingles, 0) >= {TSX.CONTAM_THRESHOLD} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {TSX.CONTAM_BENCH_MOD} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def text_quality() -> str:
     length = "greatest(length(text), 1)::DOUBLE"
     ntok = (

@@ -346,3 +346,27 @@ def test_pack_shards_two_level_scan(spark, docs):
     shard_ids = sorted(per_shard)
     assert shard_ids == list(range(len(shard_ids)))  # contiguous from 0
     assert all(tot <= budget + max_doc for tot in per_shard.values())
+
+
+def test_decontaminate_shingle_overlap(spark):
+    """Benchmark decontamination: exact copy of a benchmark doc shares every
+    shingle (contaminated); one-shingle overlap stays under the threshold;
+    empty docs never match each other (empty shingles filtered)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),  # benchmark (0 % 41 == 0)
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy -> 4 shared shingles
+        (2, "alpha beta gamma delta epsilon something else entirely now"),  # 1 shared
+        (3, "totally different text with no overlap at all here"),  # 0 shared
+        (41, ""),  # benchmark, empty
+        (4, ""),  # empty candidate: must NOT match the empty benchmark
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_hit_shingles"], r["contaminated"])
+        for r in textstats.decontaminate(df).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # benchmark members excluded from output
+    assert out[1] == (4, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
