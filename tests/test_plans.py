@@ -95,3 +95,42 @@ def test_dedup_blocking_never_cross_joins(spark):
         assert "CartesianProduct" not in plan, op.__name__
         assert "BroadcastNestedLoopJoin" not in plan, op.__name__
         spark.catalog.clearCache()
+
+
+def test_pack_shards_never_global_window(spark):
+    """The sequence-packing prefix sum must stay BUCKET-partitioned: no
+    empty-partition-spec Window (a global ORDER BY window serializes the
+    corpus through one task) and the offsets join stays broadcast."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.pack_shards(docs, bucket=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Window's partition spec carries the bucket column; a global
+    # window would print 'Window [...], [doc_id ASC...]' with no partition
+    # list and require Exchange SinglePartition below it
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Candidate shingles must probe a BROADCAST benchmark set — the corpus
+    side never shuffles on the shingle key, and nothing cross-joins."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.decontaminate(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_selection_windows_on_cluster(spark):
+    """The keep/drop selection must rank WITHIN cluster_id partitions (the
+    CC labels' own key) — no single-partition global sort."""
+    from lumbermill_spark.extras import dedup
+
+    docs = dedup.augmented_docs(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    plan = _plan(dedup.canonical_selection(docs))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(cluster_id" in plan
+    spark.catalog.clearCache()
