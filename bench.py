@@ -103,6 +103,9 @@ def main() -> None:
     timed("dedup_ngram_jaccard", lambda: (noopw(dedup.ngram_jaccard_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("sim_topk_bruteforce", lambda: noopw(similarity.topk_bruteforce(embeds)))
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
+    timed("text_pack_shards", lambda: noopw(textstats.pack_shards(docs)))
+    timed("text_decontaminate", lambda: noopw(textstats.decontaminate(docs)))
+    timed("corpus_canonical", lambda: (noopw(dedup.canonical_selection(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
 
     from lumbermill_spark import frames as frames_mod
 
