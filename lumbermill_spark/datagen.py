@@ -102,6 +102,9 @@ _UNKNOWN_HEROKU = np.array(
      "Restarting", "Build succeeded"],
     dtype=object,
 )
+# control-escape pairs as raw text bytes (backslash + char); the decode side
+# maps them per unquote.go:86-119 (schemas.ESCAPE_TABLE)
+_CTRL_ESCS = np.array(["\\t", "\\n", "\\r", "\\b", "\\f"], dtype=object)
 _UNKNOWN_USER = np.array(
     ["hello from the app", "user log line lorem ipsum", "INFO completed request",
      "DEBUG cache warmup done", "processing job 12345", "warn: retrying connection"],
@@ -294,6 +297,25 @@ def _gen_texts(rng: np.random.Generator, cls: np.ndarray, n: int) -> np.ndarray:
             + " sample#load_avg_5m=" + _fmt2(rng, len(i), 5.0)
             + " sample#load_avg_15m=" + _fmt2(rng, len(i), 5.0)
         )
+    i = idx("dyno_mem_ctrl_escaped")
+    if len(i):
+        # CONTROL escapes inside the quoted, EXTRACTED source value: \t \n
+        # \r \b \f all decode to their control bytes in every engine and
+        # both oracles (schemas.ESCAPE_CHAIN on the regex-only sides, the
+        # exact unquote.go walk on the Python sides), so the sink hash gate
+        # carries a literal tab/newline end-to-end. \uXXXX is deliberately
+        # absent: the regex-only sides leave it literal (schemas.py escape
+        # contract) — it is pinned by pytest goldens instead.
+        esc = rng.choice(_CTRL_ESCS, len(i))
+        text[i] = (
+            'source="web' + esc + _ints(rng, len(i), 0, 5) + "." + _ints(rng, len(i), 0, 9)
+            + '" dyno=heroku.' + _ints(rng, len(i), 0, 1_000_000) + "." + _uuid4(rng, len(i))
+            + " sample#memory_total=" + _fmt2(rng, len(i), 512.0) + "MB sample#memory_rss="
+            + _fmt2(rng, len(i), 256.0) + "MB sample#memory_cache=" + _fmt2(rng, len(i), 0.01)
+            + "MB sample#memory_swap=" + _fmt2(rng, len(i), 0.01) + "MB sample#memory_pgpgin="
+            + _ints(rng, len(i), 0, 400_000) + "pages sample#memory_pgpgout="
+            + _ints(rng, len(i), 0, 400_000) + "pages"
+        )
     i = idx("unknown_heroku")
     if len(i):
         text[i] = rng.choice(_UNKNOWN_HEROKU, len(i))
@@ -323,6 +345,7 @@ _CLASS_MIX = [
     ("router_error_escaped", 0.002, "router"),
     ("dyno_mem_adversarial", 0.002, "dyno"),
     ("dyno_load_escaped", 0.002, "dyno"),
+    ("dyno_mem_ctrl_escaped", 0.002, "dyno"),
     ("router_blank", 0.02, "router"),
     ("cross_mem_on_router", 0.002, "router"),
     ("dyno_error", 0.03, "dyno"),

@@ -135,10 +135,13 @@ DEFAULT_SHARD_BUDGET = 2048  # tokens per training shard
 PACK_BUCKET = 4096  # docs per prefix-sum bucket (see pack_shards)
 
 
+MAX_PACK_BUCKETS = 1_000_000  # driver-prefix bound: #buckets of LONGS
+
+
 def pack_shards(
     df: DataFrame,
     budget_tokens: int = DEFAULT_SHARD_BUDGET,
-    bucket: int = PACK_BUCKET,
+    bucket: int | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """Token-budget SHARD PACKING — the sequence-packing step before
@@ -152,13 +155,33 @@ def pack_shards(
     two-level scan: (1) per-bucket token subtotals — a tiny grouped
     aggregate, #buckets = #docs/bucket rows — are prefix-summed on the
     driver and broadcast back as exclusive offsets; (2) the in-bucket
-    exclusive cumsum is a window co-partitioned on bucket. Pick `bucket` so
-    #buckets stays ~10^5-10^6 at the target scale (the driver-side prefix is
-    a trivial scan of that many LONGS, not of the data).
+    exclusive cumsum is a window co-partitioned on bucket.
+
+    The driver-side prefix is a scan of #buckets LONGS, so #buckets must
+    stay bounded (~10^6) no matter the corpus size. With bucket=None
+    (default) it is AUTO-SCALED from max(doc_id) — a column-pruned,
+    shuffle-free pre-aggregate that never tokenizes — as
+    max(PACK_BUCKET, ceil(ids/MAX_PACK_BUCKETS)): 4096 at test scale,
+    growing past 10^9.6 docs so the prefix never exceeds MAX_PACK_BUCKETS
+    rows. An explicit `bucket` is honored but warns when it would blow that
+    bound (round-4 advice: the fixed default silently made the prefix
+    O(#docs/4096) at the 10^12-doc target).
 
     Output: (doc_id, n_tokens, offset_tokens, shard_id) — one row per doc;
     offset_tokens is the exclusive global prefix, kept so the oracle
     comparison pins the whole scan, not just the bucketing."""
+    max_id = df.select(F.max("doc_id").alias("m")).first()["m"] or 0
+    if bucket is None:
+        bucket = max(PACK_BUCKET, -((max_id + 1) // -MAX_PACK_BUCKETS))
+    elif (max_id + 1) / bucket > 2 * MAX_PACK_BUCKETS:
+        import warnings
+
+        warnings.warn(
+            f"pack_shards: bucket={bucket} yields ~{(max_id + 1) // bucket:,} "
+            f"driver-side prefix rows (> {MAX_PACK_BUCKETS:,} target); raise "
+            "`bucket` or pass bucket=None to auto-scale",
+            stacklevel=2,
+        )
     d = df.select("doc_id", bpe_token_count(F.col(text_col)).alias("n_tokens"))
     d = d.withColumn("bucket", F.floor(F.col("doc_id") / bucket).cast("long"))
     subtot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()

@@ -94,29 +94,47 @@ def scan_logfmt(data: str):
     return pairs
 
 
+def _getu4_oracle(h: str) -> int:
+    # unquote.go getu4: exactly four hex digits, else -1 (no '+'/' ' forms)
+    if len(h) == 4 and all(c in "0123456789abcdefABCDEF" for c in h):
+        return int(h, 16)
+    return -1
+
+
 def _unquote(raw: str) -> str:
-    # JSON-style escapes (logfmt/unquote.go:37-149, simplified to the escapes
-    # the corpus can contain)
+    # JSON-style escapes (logfmt/unquote.go:37-149): identity set
+    # '"' '\\' '/' '\'' (the apostrophe is valid JSON-for-logfmt even though
+    # strict JSON rejects it, unquote.go:86), control set \b \f \n \r \t,
+    # and \uXXXX with UTF-16 surrogate-pair joining — an invalid pair or a
+    # lone surrogate becomes U+FFFD exactly as unquote.go:128-140 does.
     out = []
     i = 1
     end = len(raw) - 1
+    mapping = {'"': '"', "\\": "\\", "'": "'", "/": "/", "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
     while i < end:
         c = raw[i]
         if c == "\\":
             i += 1
-            e = raw[i]
-            # unquote.go:86 identity set is '"', '\\', '/', '\'' — the
-            # apostrophe is valid JSON-for-logfmt here even though strict
-            # JSON rejects it
-            mapping = {'"': '"', "\\": "\\", "'": "'", "n": "\n", "t": "\t", "r": "\r", "/": "/", "b": "\b", "f": "\f"}
+            e = raw[i] if i < end else ""
             if e in mapping:
                 out.append(mapping[e])
+                i += 1
             elif e == "u":
-                out.append(chr(int(raw[i + 1 : i + 5], 16)))
-                i += 4
+                hi = _getu4_oracle(raw[i + 1 : i + 5])
+                if hi < 0:
+                    raise LogfmtError("bad escape")
+                i += 5
+                if 0xD800 <= hi <= 0xDBFF and raw[i : i + 2] == "\\u":
+                    lo = _getu4_oracle(raw[i + 2 : i + 6])
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        out.append(chr(0x10000 + ((hi - 0xD800) << 10) + (lo - 0xDC00)))
+                        i += 6
+                        continue
+                    out.append("�")
+                    continue
+                out.append(chr(hi) if not 0xD800 <= hi <= 0xDFFF else "�")
             else:
                 raise LogfmtError("bad escape")
-            i += 1
         else:
             out.append(c)
             i += 1

@@ -53,21 +53,32 @@ def _float_field(pat: str) -> str:
     )
 
 
+def _decode_escapes_sql(expr: str) -> str:
+    """Sentinel-chained unquote, the same chain as parse._decode_escapes_expr
+    (schemas.ESCAPE_CHAIN: `\\\\` → U+0001, then each known single-char
+    escape, then invalid pairs decode literally, then sentinel → `\\`)."""
+    for frm, to in S.ESCAPE_CHAIN:
+        expr = "replace(%s, %s, %s)" % (expr, _sql_quote(frm), _sql_quote(to))
+    expr = "regexp_replace(%s, %s, '\\1', 'g')" % (expr, _sql_quote(S.UNQUOTE_RX))
+    return "replace(%s, %s, %s)" % (
+        expr,
+        _sql_quote(S.ESCAPE_SENTINEL),
+        _sql_quote("\\"),
+    )
+
+
 def _str_field(pat: str, pat_qa: str | None = None) -> str:
     """Quoted-or-bare string field with the QA branch escape-aware: the
     adversarial pattern's quoted group runs over `\\.`-or-plain units
-    (schemas.pat_str_esc) and its value is escape-decoded (UNQUOTE_RX) —
-    quoted branch only, mirroring scanner.go/unquote.go. Safe rows keep the
-    plain pattern, no decode (they cannot contain an in-span backslash)."""
+    (schemas.pat_str_esc) and its value is escape-decoded with the full
+    single-char table (_decode_escapes_sql) — quoted branch only, mirroring
+    scanner.go/unquote.go. Safe rows keep the plain pattern, no decode (they
+    cannot contain an in-span backslash)."""
 
     def render(p, unquote=False):
         g1 = "regexp_extract(text, %s, 1)" % _sql_quote(p)
         g2 = "regexp_extract(text, %s, 2)" % _sql_quote(p)
-        g1v = (
-            "regexp_replace(%s, %s, '\\1', 'g')" % (g1, _sql_quote(S.UNQUOTE_RX))
-            if unquote
-            else g1
-        )
+        g1v = _decode_escapes_sql(g1) if unquote else g1
         return "CASE WHEN %s <> '' THEN %s ELSE %s END" % (g1, g1v, g2)
 
     return "CASE WHEN %s THEN %s ELSE %s END" % (

@@ -99,21 +99,94 @@ def _ext(arr: "pa.Array", pat: str, field: str = "v") -> "pa.Array":
     return pc.struct_field(pc.extract_regex(arr, pat), field)
 
 
+_ESC_MAP = dict(S.ESCAPE_TABLE)
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _getu4(h: str) -> int:
+    """unquote.go getu4: exactly 4 hex digits or -1 (no sign/space forms that
+    Python's int() would accept)."""
+    if len(h) == 4 and all(c in _HEX for c in h):
+        return int(h, 16)
+    return -1
+
+
+def _decode_escapes_py(s: str) -> str:
+    """Exact unquote.go:37-149 escape walk for one already-extracted quoted
+    value: the full single-char table, \\uXXXX incl. surrogate-pair joining
+    and the replacement-rune fallback for invalid surrogates. The one
+    documented divergence: an invalid escape decodes literally (\\x → x)
+    where Go fails the whole unquote (schemas.py escape contract)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = s[i + 1]
+        if e in _ESC_MAP:
+            out.append(_ESC_MAP[e])
+            i += 2
+            continue
+        if e == "u":
+            cp = _getu4(s[i + 2 : i + 6])
+            if cp >= 0:
+                if 0xD800 <= cp <= 0xDBFF:  # high surrogate: try the pair
+                    lo = _getu4(s[i + 8 : i + 12]) if s[i + 6 : i + 8] == "\\u" else -1
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        out.append(chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)))
+                        i += 12
+                        continue
+                    out.append("�")  # invalid pair → replacement rune
+                    i += 6
+                    continue
+                if 0xDC00 <= cp <= 0xDFFF:  # lone low surrogate
+                    out.append("�")
+                    i += 6
+                    continue
+                out.append(chr(cp))
+                i += 6
+                continue
+        # invalid escape: literal decode (documented divergence from Go)
+        out.append(e)
+        i += 2
+    return "".join(out)
+
+
+def _unquote_arr(q: "pa.Array") -> "pa.Array":
+    """Escape-decode an array of extracted quoted values. Row-gated: only
+    values that actually contain a backslash (rare even among QA rows) take
+    the per-string Python walk; everything else passes through untouched."""
+    bs_rows = np.flatnonzero(
+        pc.greater(pc.count_substring(pc.coalesce(q, pa.scalar("")), "\\"), 0).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    if not len(bs_rows):
+        return q
+    decoded = pa.array(
+        [_decode_escapes_py(v) for v in pc.take(q, pa.array(bs_rows)).to_pylist()],
+        type=pa.string(),
+    )
+    mask = np.zeros(len(q), dtype=bool)
+    mask[bs_rows] = True
+    return pc.replace_with_mask(q, pa.array(mask), decoded)
+
+
 def _qb(s: "pa.Array", unquote: bool = False) -> "pa.Array":
     """Quoted-or-bare value from an extract struct with (q, b) groups. RE2
     leaves non-participating alternation groups as '' (not null), so the rule
     is 'quoted group if non-empty, else bare group' — identical to the native
     parser's when(g1 != '', g1) and the DuckDB oracle's CASE (all three
     agree, including on quoted-empty → ''). With ``unquote`` the QUOTED
-    branch is escape-decoded (`\\x → x`, schemas.UNQUOTE_RX) the way Go's
-    unquote maps the in-contract escapes; bare values are never decoded
-    (scanner.go only unquotes qvalue tokens)."""
+    branch is escape-decoded per the full unquote.go table
+    (schemas.ESCAPE_TABLE + \\uXXXX, see _decode_escapes_py); bare values are
+    never decoded (scanner.go only unquotes qvalue tokens)."""
     q = pc.struct_field(s, "q")
     b = pc.struct_field(s, "b")
-    if unquote:
-        q_out = pc.replace_substring_regex(q, pattern=S.UNQUOTE_RX, replacement=r"\1")
-    else:
-        q_out = q
+    q_out = _unquote_arr(q) if unquote else q
     out = pc.if_else(pc.not_equal(q, ""), q_out, b)
     return pc.coalesce(out, pa.scalar("", type=pa.string()))
 
@@ -392,12 +465,24 @@ def _nat_int1(text: Column, pat: str, present_pat: str) -> tuple[Column, Column]
     return F.coalesce(v, F.lit(0)), bad
 
 
+def _decode_escapes_expr(c: Column) -> Column:
+    """Sentinel-chained unquote for the pure-expression engines — the full
+    single-char table of unquote.go:86-119 with invalid escapes (incl. \\u)
+    decoding literally; see schemas.ESCAPE_CHAIN for the equality argument.
+    Literal F.replace passes, java regex only for the final invalid-pair
+    strip — and the decode only ever runs on the QA family's quoted branch."""
+    for frm, to in S.ESCAPE_CHAIN:
+        c = F.replace(c, F.lit(frm), F.lit(to))
+    c = F.regexp_replace(c, S.UNQUOTE_RX, "$1")
+    return F.replace(c, F.lit(S.ESCAPE_SENTINEL), F.lit("\\"))
+
+
 def _nat_str1(text: Column, pat: str, unquote: bool) -> Column:
     g1 = F.regexp_extract(text, pat, 1)
     g2 = F.regexp_extract(text, pat, 2)
     # only the QUOTED branch is escape-decoded (scanner.go unquotes qvalue
     # tokens only; bare values keep their bytes)
-    g1v = F.regexp_replace(g1, S.UNQUOTE_RX, "$1") if unquote else g1
+    g1v = _decode_escapes_expr(g1) if unquote else g1
     return F.when(g1 != "", g1v).otherwise(g2)
 
 

@@ -141,6 +141,10 @@ def run(
     resume: bool = False,
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
+    if cfg.orphan_scope not in ("owned", "all"):
+        # fail loudly: a typo'd scope would silently behave as 'owned' and the
+        # intended one-time 'all' migration cleanup would never happen
+        raise ValueError(f"orphan_scope must be 'owned' or 'all', got {cfg.orphan_scope!r}")
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
     # 4x the shuffle-partition count for the salted routing repartition: the

@@ -175,15 +175,25 @@ LOAD_KEYS = {
 #              two-byte `\x` units, exactly like the scanner).
 #
 # Escape contract (tests/test_parse_fuzz.py): in-grammar escapes inside
-# quoted values are \" \\ \/ \' — precisely the set Go's unquote maps to the
-# escaped character itself (unquote.go:86-89), so the shared decode rule
-# `\(.) → $1` reproduces it. Out of contract: control-escape decodes
-# (\n \t \b \f \r \uXXXX — Go maps to control bytes/runes; regex replace
-# cannot), invalid escapes (Go fails unquote → row dropped; we decode
-# literally), duplicate out-of-quote keys (scanner last-wins, regex
-# first-wins), and STRAY quotes/escapes not in a `k="..."` span (the Go
-# scanner treats those as garbage and still extracts keys from inside them —
-# inexpressible in RE2, which has no lookbehind).
+# quoted values are the FULL single-char table of Go's unquote
+# (unquote.go:86-119): the identity set \" \\ \/ \' plus the control set
+# \b \f \n \r \t. All three parsers and both oracles decode them — the
+# Python sides (Arrow parser, oracle.py scanner) byte-exactly, the
+# regex-only sides (native parsers' QA branch, DuckDB SQL oracle) via the
+# sentinel-chained literal replaces in ESCAPE_CHAIN below, which is provably
+# equal to the left-to-right scan on every input not containing the sentinel
+# byte U+0001 (never emitted by the grammar). Remaining contract boundary:
+#   * \uXXXX (unquote.go:120-141, incl. surrogate pairs): decoded exactly by
+#     the Arrow parser and the Python scanner oracle; the pure-regex sides
+#     have no numeric-decode callback, so \u stays LITERAL there (\uXXXX →
+#     uXXXX) — datagen never emits \u, keeping the driver gate exact; the
+#     \u contract is pinned by pytest goldens on the default parser instead.
+#   * invalid escapes (Go fails unquote → row dropped): we decode literally
+#     (\x → x) on every engine side; the scanner oracle keeps Go's drop.
+#   * duplicate out-of-quote keys (scanner last-wins, regex first-wins) and
+#     STRAY quotes/escapes not in a `k="..."` span (the Go scanner treats
+#     those as garbage and still extracts keys from inside them —
+#     inexpressible in RE2, which has no lookbehind).
 #
 # ADVERSARIAL_RX anchors at the span OPENER (quotes only open right after
 # '=', per the grammar above). A quoted span is only UNSAFE for the fast
@@ -212,10 +222,37 @@ ADVERSARIAL_RX = (
 _CH = r'(?:\\.|[^"\\])'
 QUOTE_PARITY_PREFIX = r'^(?:' + _CH + r'*"' + _CH + r'*")*' + _CH + r'*?'
 
-# shared decode rule for quoted values that contained escapes: `\x → x`.
-# Identical in java.util.regex ($1), RE2 (\1) and DuckDB (\1); (?s) so an
-# escaped literal newline is still one unit.
+# span-parity strip rule: any `\x` pair is one scanner unit regardless of
+# decode, so quote-parity counting just deletes the pairs. Identical in
+# java.util.regex, RE2 and DuckDB; (?s) so an escaped literal newline is
+# still one unit.
 UNQUOTE_RX = r"(?s)\\(.)"
+
+# Full single-char escape table of unquote.go:86-119 (identity + control).
+ESCAPE_TABLE = (
+    ('"', '"'),
+    ("\\", "\\"),
+    ("/", "/"),
+    ("'", "'"),
+    ("b", "\b"),
+    ("f", "\f"),
+    ("n", "\n"),
+    ("r", "\r"),
+    ("t", "\t"),
+)
+# Sentinel-chained decode for the regex-only engines (java expressions /
+# DuckDB SQL), equal to the scanner's left-to-right two-byte walk:
+#   1. `\\` → U+0001   (non-overlapping global replace consumes backslash
+#                       PAIRS left-to-right exactly like the scanner)
+#   2. each remaining known pair `\c` → its mapped char (the leftover
+#      backslashes are isolated escape-starts, so the singles are disjoint)
+#   3. remaining `\(.)` → `$1`  (invalid-escape literal decode, incl. \u)
+#   4. U+0001 → `\`
+# Step order is load-bearing; both regex sides must apply the same chain.
+ESCAPE_SENTINEL = "\x01"
+ESCAPE_CHAIN = [("\\\\", ESCAPE_SENTINEL)] + [
+    ("\\" + c, ch) for c, ch in ESCAPE_TABLE if c != "\\"
+]
 
 
 def quote_aware(pat: str) -> str:

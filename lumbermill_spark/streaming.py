@@ -218,14 +218,22 @@ def freshness_view(spark: SparkSession, out_dir: str) -> DataFrame:
     per (token, series). Monotone max() means a plain max over the log —
     no batch_id ordering needed. Before the first micro-batch has written
     anything the log directory doesn't exist yet — return an empty frame,
-    not PATH_NOT_FOUND (monitoring callers poll this)."""
+    not PATH_NOT_FOUND (monitoring callers poll this).
+
+    Concurrency note: start_freshness_stream's retry path overwrites a
+    batch_id partition dynamically (delete + rewrite), so a poll that lists
+    a file the stream then replaces would hit FileNotFoundException mid-job.
+    The read sets ignoreMissingFiles so such a file contributes nothing to
+    that poll — safe here because every batch_id partition's content is
+    monotone (a max() fold misses at most an update the next poll sees)."""
     from . import fsio
 
     log_dir = os.path.join(out_dir, "metrics", "freshness_log")
     if not fsio.exists(spark, log_dir):
         return spark.createDataFrame([], "token string, series string, latest_time long")
     return (
-        spark.read.parquet(log_dir)
+        spark.read.option("ignoreMissingFiles", "true")
+        .parquet(log_dir)
         .groupBy("token", "series")
         .agg(F.max("latest_time").alias("latest_time"))
     )

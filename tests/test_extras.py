@@ -348,6 +348,22 @@ def test_pack_shards_two_level_scan(spark, docs):
     assert all(tot <= budget + max_doc for tot in per_shard.values())
 
 
+def test_pack_shards_bucket_autoscale(spark, docs):
+    """bucket=None auto-scales from max(doc_id): identical output at test
+    scale (bucket stays PACK_BUCKET), and the driver-side prefix bound would
+    hold at any corpus size; an explicit too-small bucket warns."""
+    auto = sorted(map(tuple, textstats.pack_shards(docs).collect()))
+    fixed = sorted(map(tuple, textstats.pack_shards(docs, bucket=textstats.PACK_BUCKET).collect()))
+    assert auto == fixed
+    # the bound itself: ceil-div keeps #buckets <= MAX_PACK_BUCKETS
+    for ids in (10**6, 10**9, 10**12, 7 * 10**12 + 3):
+        b = max(textstats.PACK_BUCKET, -(ids // -textstats.MAX_PACK_BUCKETS))
+        assert (ids + b - 1) // b <= textstats.MAX_PACK_BUCKETS
+    with pytest.warns(UserWarning, match="driver-side prefix"):
+        big = docs.withColumn("doc_id", F.col("doc_id") + F.lit(2 * 10**13))
+        textstats.pack_shards(big, bucket=2)
+
+
 def test_decontaminate_shingle_overlap(spark):
     """Benchmark decontamination: exact copy of a benchmark doc shares every
     shingle (contaminated); one-shingle overlap stays under the threshold;

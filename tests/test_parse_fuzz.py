@@ -10,14 +10,16 @@ here as the engine's contract):
   * quoted values containing whitespace, '=', `key=` sequences, or bare key
     words ARE in grammar since round 3: such rows dispatch to the
     quote-parity patterns (schemas.quote_aware) and must match the scanner;
-  * quoted values containing the identity-decode escapes (backslash followed
-    by quote, backslash, slash, or apostrophe) ARE in grammar since round 4
-    (schemas.py escape contract): the parity prefix consumes them as
-    two-byte units, the drop rule strips them before counting quotes, and
-    the quoted-branch extraction decodes backslash-x to x — all three
-    matching scanner.go/unquote.go. Control escapes (backslash-n/-t/-u...)
-    and invalid escapes stay out of grammar (regex replace cannot produce
-    control bytes; Go drops rows whose unquote fails);
+  * quoted values containing single-char escapes ARE in grammar: the
+    identity set (backslash followed by quote, backslash, slash, apostrophe)
+    since round 4, and since round 5 the control set (backslash-b/-f/-n/-r/-t)
+    too — the full unquote.go:86-119 table (schemas.ESCAPE_TABLE). The parity
+    prefix consumes any pair as a two-byte unit, the drop rule strips pairs
+    before counting quotes, and the quoted-branch extraction decodes them
+    (sentinel chain on the regex-only engines). backslash-uXXXX and invalid
+    escapes stay out of grammar: the numeric decode needs a callback the regex sides
+    lack (pinned by pytest goldens on the Python sides instead), and Go
+    drops rows whose unquote fails where the engines decode literally;
   * every '"' must open/close a value span attached directly to its key
     (`k="..."`). A quote NOT immediately after '=' is garbage to the Go
     scanner (it happily extracts keys from inside such pseudo-quoted text,
@@ -56,7 +58,10 @@ _tokens = st.sampled_from(["GET", "12ms", "200", "H12", "web.1", '"a b"',
                            # in-contract escapes inside quoted values
                            # (python '\\' = one backslash byte)
                            '"a\\"b"', '"tail\\\\"', '"x\\/y\\\'z"',
-                           '"esc \\" and status=7"', '"\\""'])
+                           '"esc \\" and status=7"', '"\\""',
+                           # control escapes (decode to control bytes)
+                           '"a\\nb"', '"t\\tab"', '"c\\rd"', '"\\b\\f"',
+                           '"mix\\t\\"q"', '"nl at end\\n"'])
 
 
 @st.composite

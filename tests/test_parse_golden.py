@@ -105,6 +105,80 @@ def test_escaped_quotes_match_oracle(spark, parser):
     assert codes == {"H12", 'H"9'}
 
 
+# --- control escapes inside quoted values (\b \f \n \r \t — the rest of
+# unquote.go:86-119's single-char table). In-contract since round 5: every
+# engine decodes them to the control byte (the regex-only sides via
+# schemas.ESCAPE_CHAIN's sentinel chain, the Python sides via the exact
+# walk), so an extracted source can carry a literal tab/newline.
+CTRL_ROWS = [
+    # tab inside the EXTRACTED source → literal TAB byte in the sink value
+    ("c1", 0, "heroku", 'source="web\\t1.2" sample#memory_total=10.00MB sample#memory_rss=5.00MB', "web.5", T0_CTRL := 1_735_689_700_000_000),
+    # newline + carriage return decoded inside one extracted span
+    ("c2", 0, "heroku", 'source="a\\nb\\r.1" sample#load_avg_1m=1.00 sample#load_avg_5m=0.50 sample#load_avg_15m=0.25', "web.6", T0_CTRL + 1),
+    # \b \f in a NON-extracted span: row kept, plain fields intact, and the
+    # quote-parity drop rule must treat the pairs as single scanner units
+    ("c3", 0, "heroku", 'at=error code=H12 desc="bell\\b form\\f feed" status=503 sock=client', "router", T0_CTRL + 2),
+    # identity + control escapes mixed in one extracted value
+    ("c4", 0, "heroku", 'source="w\\"e\\tb.9" sample#memory_total=20.00MB sample#memory_rss=8.00MB', "worker.3", T0_CTRL + 3),
+]
+
+
+@pytest.mark.parametrize("parser", ["pandas", "native", "native_fast"])
+def test_control_escapes_match_oracle(spark, parser):
+    df = make_transcripts_df(spark, CTRL_ROWS)
+    parsed = parse.with_parsed(classify.classify(df), parser=parser)
+    got_sinks = {name: sorted(tuple(r) for r in b(parsed).collect()) for name, b in parse.SINK_BUILDERS.items()}
+    exp_sinks, exp_counters = oracle.process_rows(
+        [
+            {"conv_id": c, "turn_idx": i, "role": r, "text": x, "tool": tl, "time_us": t}
+            for (c, i, r, x, tl, t) in CTRL_ROWS
+        ]
+    )
+    for name in exp_sinks:
+        assert got_sinks[name] == sorted(map(tuple, exp_sinks[name])), f"sink {name} ({parser})"
+    assert parsed.filter("p.parse_error").count() == exp_counters.get("logfmt_parse_error", 0)
+    # pin the decoded bytes themselves, not just agreement
+    mem = {r["source"] for r in parse.sink_dyno_mem(parsed).collect()}
+    assert mem == {"web\t1.2", 'w"e\tb.9'}
+    load = {r["source"] for r in parse.sink_dyno_load(parsed).collect()}
+    assert load == {"a\nb\r.1"}
+
+
+def test_control_escapes_duckdb_oracle_matches_scanner(tmp_path):
+    _duckdb_vs_scanner(CTRL_ROWS, str(tmp_path / "ctrl.parquet"))
+
+
+def test_unicode_escapes_default_parser():
+    """\\uXXXX decode (unquote.go:120-141) is exact on the Python sides only
+    (Arrow parser + scanner oracle); the regex-only engines leave \\u literal
+    and datagen never emits it (schemas.py escape contract) — so it is
+    pinned here on the default parser rather than through the driver gate."""
+    from lumbermill_spark.parse import _decode_escapes_py
+    from lumbermill_spark.oracle import _unquote
+
+    cases = {
+        # basic BMP code point
+        'w\\u0041b.1': "wAb.1",
+        # surrogate pair → one astral rune (😀 U+1F600)
+        'g\\ud83d\\ude00x': "g\U0001F600x",
+        # lone high surrogate → replacement rune, tail kept
+        'h\\ud83dzz': "h�zz",
+        # lone low surrogate → replacement rune
+        'l\\udc00q': "l�q",
+        # high surrogate followed by \u that is NOT a low surrogate:
+        # replacement rune, then the second escape decodes on its own
+        'p\\ud83d\\u0041q': "p�Aq",
+    }
+    for raw, want in cases.items():
+        assert _decode_escapes_py(raw) == want, raw
+        assert _unquote('"' + raw + '"') == want, raw
+    # divergence pin: invalid hex → engine decodes literally (\u → u...),
+    # the scanner oracle keeps Go's unquote failure (row drop upstream)
+    assert _decode_escapes_py('x\\uZZZZy') == "xuZZZZy"
+    with pytest.raises(oracle.LogfmtError):
+        _unquote('"x\\uZZZZy"')
+
+
 def _duckdb_vs_scanner(rows, path):
     """Pin the DuckDB SQL oracle (oracle_sql.py) against the pure-Python
     scanner port on a handcrafted row set: every sink row plus the
@@ -151,18 +225,21 @@ def _duckdb_vs_scanner(rows, path):
 
 
 def test_escaped_quotes_duckdb_oracle_matches_scanner(tmp_path):
-    """Escape contract in the SQL oracle — the driver's sf0.01 gate never
-    exercises escapes (datagen emits none), so this fixture does."""
+    """Escape contract in the SQL oracle. These fixtures predate the datagen
+    escape classes (router_error_escaped / dyno_load_escaped /
+    dyno_mem_ctrl_escaped now exercise escapes through the driver's sf0.01
+    gate too) and complement them with the edge shapes datagen deliberately
+    avoids (unterminated-because-escaped, stray out-of-span escapes)."""
     _duckdb_vs_scanner(ESC_ROWS, str(tmp_path / "esc.parquet"))
 
 
 def test_fixture_corpus_duckdb_oracle_matches_scanner(tmp_path):
     """The FULL handcrafted fixture corpus (every malformed-input policy,
     every adversarial quoted-span trap, every mega-pattern miss) through the
-    DuckDB SQL oracle vs the scanner port. Matters because the tightened
-    adversarial predicate leaves ZERO quote-parity rows in the synthetic
-    datagen — without this test the oracle's QA dispatch branch would only
-    ever be exercised by the Spark-engine goldens, never SQL-side."""
+    DuckDB SQL oracle vs the scanner port. The datagen adversarial/escape
+    classes exercise the oracle's QA dispatch at corpus scale through the
+    driver gate; this fixture covers the deliberately-malformed shapes
+    datagen leaves out, SQL-side."""
     _duckdb_vs_scanner(tiny_rows(), str(tmp_path / "tiny.parquet"))
 
 
