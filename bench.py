@@ -56,10 +56,18 @@ def main() -> None:
         cfg = pipeline.PipelineConfig(parser=parser, sink_format="noop", write_metrics=False)
         return pipeline.run(spark, tpath, "/tmp/lm_bench_noop", cfg)
 
-    # one JIT/codegen/python-worker warmup pass, then measured runs
+    # two JIT/codegen/python-worker warmup passes, then measured runs — one
+    # is not enough when datagen just ran in-process (the first post-warmup
+    # run still carries ~1.5x residue; same lesson as the scaling protocol)
+    run_pipeline("pandas")
     run_pipeline("pandas")
     timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"))
+    # each comparison parser gets its own warm pass first: its first run pays
+    # that parser's whole-stage-codegen compile, which is startup cost, not
+    # steady-state throughput
+    run_pipeline("native")
     timed("pipeline_noop_native", lambda: run_pipeline("native"))
+    run_pipeline("native_fast")
     timed("pipeline_noop_native_fast", lambda: run_pipeline("native_fast"))
 
     phase_timings: dict[str, float] = {}
