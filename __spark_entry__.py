@@ -329,6 +329,25 @@ def _q_text_sample(spark, sf_dir):
     return textstats.sampled_lang_counts(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals + keep rule — a pure
+    no-shuffle projection (plan-pinned)."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.with_repetition(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+        "top_word_frac", "rep_keep",
+    )
+
+
+def _q_text_redact_pii(spark, sf_dir):
+    """PII scrub (emails/IPv4s/phones) over the deterministically augmented
+    documents — counts + redacted text, value-verified against DuckDB."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.redact_pii(textstats.augment_pii(_docs(spark, sf_dir)))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -363,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_shards": _q_text_pack_shards,
         "text_decontaminate": _q_text_decontaminate,
         "text_sample": _q_text_sample,
+        "text_repetition": _q_text_repetition,
+        "text_redact_pii": _q_text_redact_pii,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -419,6 +440,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_shards": OX.text_pack_shards(),
         "text_decontaminate": OX.text_decontaminate(),
         "text_sample": OX.text_sample(),
+        "text_repetition": OX.text_repetition(),
+        "text_redact_pii": OX.text_redact_pii(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

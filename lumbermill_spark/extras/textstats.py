@@ -273,3 +273,141 @@ def decontaminate(
         .withColumn("n_hit_shingles", F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("int"))
         .withColumn("contaminated", F.col("n_hit_shingles") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filtering — the Gopher/MassiveText-style intra-document
+# repetition signals (duplicate word / n-gram fractions, top-word share)
+# used to drop degenerate boilerplate before pre-training. Pure per-row
+# higher-order-function projections: NO shuffle, NO Python — the plan is a
+# single codegen'd Project over the scan at any corpus size. Long documents
+# are capped at MAX_REP_TOKENS tokens (the signals saturate long before
+# that; the cap bounds the per-row O(distinct x tokens) top-word pass).
+# ---------------------------------------------------------------------------
+
+MAX_REP_TOKENS = 10_000
+# keep thresholds (documented contract of rep_keep; tuned to split the
+# synthetic corpus non-trivially, same spirit as Gopher's table A1 rules)
+REP_MAX_DUP_WORD_FRAC = 0.60
+REP_MAX_DUP_2GRAM_FRAC = 0.10
+REP_MAX_TOP_WORD_FRAC = 0.12
+
+
+def _rep_words(text: Column) -> Column:
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.slice(F.split(F.trim(text), r"\s+"), 1, MAX_REP_TOKENS)
+    )
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Overlapping word n-grams (n >= 2); empty when the doc is shorter."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals per document:
+      dup_word_frac   1 - distinct/total words (0 for empty docs)
+      dup_2gram_frac  1 - distinct/total overlapping 2-grams
+      dup_3gram_frac  same for 3-grams
+      top_word_frac   most frequent word's share of all words
+      rep_keep        all signals under the documented thresholds
+    All fractions rounded to 6 dp (same cross-engine contract as
+    with_quality)."""
+    words = _rep_words(F.col(text_col))
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(n > 0, 1.0 - F.size(F.array_distinct(arr)) / n.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    top = F.when(
+        F.size(words) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        ).cast("double")
+        / F.size(words),
+    ).otherwise(F.lit(0.0))
+
+    out = (
+        df.withColumn("dup_word_frac", dup_frac(words))
+        .withColumn("dup_2gram_frac", dup_frac(_ngrams(words, 2)))
+        .withColumn("dup_3gram_frac", dup_frac(_ngrams(words, 3)))
+        .withColumn("top_word_frac", F.round(top, 6))
+    )
+    return out.withColumn(
+        "rep_keep",
+        (F.col("dup_word_frac") <= REP_MAX_DUP_WORD_FRAC)
+        & (F.col("dup_2gram_frac") <= REP_MAX_DUP_2GRAM_FRAC)
+        & (F.col("top_word_frac") <= REP_MAX_TOP_WORD_FRAC),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the standard scrub pass (emails, IPv4s, phone numbers)
+# before corpus release. Pure regexp projections, zero shuffle. The regexes
+# are RE2-safe (no lookaround) so java.util.regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte. The synthetic documents carry no PII, so the driver
+# query runs over a deterministically AUGMENTED table (augment_pii — both
+# engines construct it identically, the same convention as dedup's
+# augmented_docs) and the redaction is verified on real hits.
+# ---------------------------------------------------------------------------
+
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RX = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RX = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_EMAIL_MOD = 3  # doc_id % 3 == 0 -> email appended
+PII_IP_MOD = 5
+PII_PHONE_MOD = 7
+
+
+def augment_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PII augmentation for verification: appends an email /
+    IPv4 / phone derived from doc_id to a subset of docs (mods above; a doc
+    can get several)."""
+    d, t = F.col("doc_id"), F.col(text_col)
+    email = F.when(
+        d % PII_EMAIL_MOD == 0,
+        F.concat(F.lit(" contact user"), d, F.lit("@example"), d % 7, F.lit(".com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % PII_IP_MOD == 0,
+        F.concat(F.lit(" from 10."), d % 256, F.lit("."), d % 100, F.lit("."), d % 50),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % PII_PHONE_MOD == 0,
+        F.concat(F.lit(" call 555-"), 100 + d % 900, F.lit("-"), 1000 + d % 9000),
+    ).otherwise(F.lit(""))
+    return df.withColumn(text_col, F.concat(t, email, ip, phone))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII spans: emails -> <EMAIL>, IPv4s -> <IP>, phones
+    -> <PHONE> (replace order matters and is part of the contract: emails
+    first so an address's host part can never be half-matched as an IP)."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RX)).cast("int")
+    red = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
+    n_ips = F.regexp_count(red, F.lit(IPV4_RX)).cast("int")
+    red = F.regexp_replace(red, IPV4_RX, "<IP>")
+    n_phones = F.regexp_count(red, F.lit(PHONE_RX)).cast("int")
+    red = F.regexp_replace(red, PHONE_RX, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        red.alias("redacted_text"),
+    )

@@ -524,3 +524,61 @@ WHERE ('0x'||substring(md5('{TS2.SAMPLE_SALT}' || ':' || CAST(doc_id AS VARCHAR)
       < {cutoff}
 GROUP BY lang
 """
+
+
+def text_repetition() -> str:
+    """Replay of extras.textstats.with_repetition: Gopher-style duplicate
+    word/n-gram fractions + top-word share over the token-capped word list,
+    thresholds shared from the Spark module."""
+    words = (
+        "CASE WHEN trim(text) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim(text), '\\s+')[1:{TS.MAX_REP_TOKENS}] END"
+    )
+    dup1 = "CASE WHEN len(words) > 0 THEN round(1 - len(list_distinct(words))::DOUBLE / len(words), 6) ELSE 0.0 END"
+    g2 = "CASE WHEN len(words) >= 2 THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) ELSE [] END"
+    g3 = "CASE WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) ELSE [] END"
+    dup_g = "CASE WHEN len({g}) > 0 THEN round(1 - len(list_distinct({g}))::DOUBLE / len({g}), 6) ELSE 0.0 END"
+    top = (
+        "CASE WHEN len(words) > 0 THEN round(list_max(list_transform(list_distinct(words), "
+        "w -> len(list_filter(words, x -> x = w))))::DOUBLE / len(words), 6) ELSE 0.0 END"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+f AS (SELECT doc_id,
+  {dup1} AS dup_word_frac,
+  {dup_g.format(g=f'({g2})')} AS dup_2gram_frac,
+  {dup_g.format(g=f'({g3})')} AS dup_3gram_frac,
+  {top} AS top_word_frac
+FROM w)
+SELECT *,
+  (dup_word_frac <= {TS.REP_MAX_DUP_WORD_FRAC}
+   AND dup_2gram_frac <= {TS.REP_MAX_DUP_2GRAM_FRAC}
+   AND top_word_frac <= {TS.REP_MAX_TOP_WORD_FRAC}) AS rep_keep
+FROM f
+"""
+
+
+def text_redact_pii() -> str:
+    """Replay of extras.textstats.redact_pii over the deterministically
+    PII-augmented documents (augment_pii; same convention as AUG_DOCS):
+    counts + redaction with the same replace ORDER (emails, then IPs, then
+    phones) and the same RE2-safe patterns."""
+    aug = (
+        "text"
+        f" || CASE WHEN doc_id % {TS.PII_EMAIL_MOD} = 0 THEN ' contact user' || doc_id || '@example' || (doc_id % 7) || '.com' ELSE '' END"
+        f" || CASE WHEN doc_id % {TS.PII_IP_MOD} = 0 THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 100) || '.' || (doc_id % 50) ELSE '' END"
+        f" || CASE WHEN doc_id % {TS.PII_PHONE_MOD} = 0 THEN ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) ELSE '' END"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+r1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{TS.EMAIL_RX}')) AS INT) AS n_emails,
+  regexp_replace(t, '{TS.EMAIL_RX}', '<EMAIL>', 'g') AS t FROM a),
+r2 AS (SELECT doc_id, n_emails,
+  CAST(len(regexp_extract_all(t, '{TS.IPV4_RX}')) AS INT) AS n_ips,
+  regexp_replace(t, '{TS.IPV4_RX}', '<IP>', 'g') AS t FROM r1)
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t, '{TS.PHONE_RX}')) AS INT) AS n_phones,
+  regexp_replace(t, '{TS.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
+FROM r2
+"""

@@ -386,3 +386,41 @@ def test_decontaminate_shingle_overlap(spark):
     assert out[2] == (1, False)
     assert out[3] == (0, False)
     assert out[4] == (0, False)
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed repetition fractions on tiny docs + threshold rule."""
+    rows = [
+        (0, "a b c d"),                      # all distinct: 0/0/0, top 1/4
+        (1, "a a a a"),                      # dup_word 3/4; 2grams all 'a a' dup 2/3; top 1
+        (2, "a b a b a"),                    # 5 words 2 distinct -> 3/5; 2grams: ab ba ab ba -> 1/2; top 3/5
+        (3, ""),                             # empty: all 0, keep (0 <= thresholds)
+        (4, "x"),                            # single word: no 2grams; top 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.with_repetition(df).collect()}
+    assert (out[0]["dup_word_frac"], out[0]["dup_2gram_frac"], out[0]["top_word_frac"]) == (0.0, 0.0, 0.25)
+    assert (out[1]["dup_word_frac"], out[1]["dup_2gram_frac"], out[1]["top_word_frac"]) == (0.75, round(2 / 3, 6), 1.0)
+    assert (out[2]["dup_word_frac"], out[2]["dup_2gram_frac"], out[2]["top_word_frac"]) == (0.6, 0.5, 0.6)
+    assert (out[3]["dup_word_frac"], out[3]["top_word_frac"], out[3]["rep_keep"]) == (0.0, 0.0, True)
+    assert (out[4]["dup_2gram_frac"], out[4]["dup_3gram_frac"], out[4]["top_word_frac"]) == (0.0, 0.0, 1.0)
+    assert not out[1]["rep_keep"] and not out[2]["rep_keep"] and not out[4]["rep_keep"]
+
+
+def test_redact_pii_golden(spark):
+    """Redaction decisions: each kind replaced with its token, counts right,
+    replace order protects email hosts from the IP pattern."""
+    rows = [
+        (0, "mail bob.smith+x@sub.example.org now"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 down"),
+        (2, "call 555-123-4567 re 123-45-6789"),  # second is NOT phone-shaped
+        (3, "clean text only"),
+        (4, "both a@b.io 1.2.3.4 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["redacted_text"] == "mail <EMAIL> now"
+    assert out[1]["n_ips"] == 2 and out[1]["redacted_text"] == "server at <IP> and <IP> down"
+    assert out[2]["n_phones"] == 1 and out[2]["redacted_text"] == "call <PHONE> re 123-45-6789"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted_text"] == "both <EMAIL> <IP> <PHONE>"

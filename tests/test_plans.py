@@ -134,3 +134,20 @@ def test_canonical_selection_windows_on_cluster(spark):
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(cluster_id" in plan
     spark.catalog.clearCache()
+
+
+def test_repetition_and_redaction_are_pure_projections(spark):
+    """The repetition signals and PII redaction are per-row projections:
+    their plans must carry NO Exchange at all (a shuffle here would be a
+    scale bug — these run over every document of the corpus) and no Python
+    evaluation (all higher-order/regexp expressions stay JVM-side)."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        textstats.with_repetition(docs),
+        textstats.redact_pii(textstats.augment_pii(docs)),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
