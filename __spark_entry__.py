@@ -348,6 +348,30 @@ def _q_text_redact_pii(spark, sf_dir):
     return textstats.redact_pii(textstats.augment_pii(_docs(spark, sf_dir)))
 
 
+def _q_corpus_mixture(spark, sf_dir):
+    """Deterministic stratified downsampling to the default language
+    mixture — the exact kept set is the contract (md5 cutoff per stratum)."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.mixture_sample(_docs(spark, sf_dir))
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """Cross-run exact dedup: the augmented docs split into a prior-corpus
+    fingerprint index (doc_id % INC_INDEX_MOD == 0) and a new batch; every
+    batch row flagged dup_of_index / dup_in_batch / keep."""
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.extras import dedup, textstats
+
+    aug = dedup.augmented_docs(_docs(spark, sf_dir))
+    batch = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD != 0)
+    index = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD == 0).select(
+        textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return dedup.incremental_dedup(batch, index)
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -384,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample": _q_text_sample,
         "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_text_redact_pii,
+        "corpus_mixture": _q_corpus_mixture,
+        "dedup_incremental": _q_dedup_incremental,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -442,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "text_sample": OX.text_sample(),
         "text_repetition": OX.text_repetition(),
         "text_redact_pii": OX.text_redact_pii(),
+        "corpus_mixture": OX.corpus_mixture(),
+        "dedup_incremental": OX.dedup_incremental(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -111,6 +111,20 @@ def main() -> None:
     timed("dedup_ngram_jaccard", lambda: (noopw(dedup.ngram_jaccard_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("sim_topk_bruteforce", lambda: noopw(similarity.topk_bruteforce(embeds)))
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
+    timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
+    timed("text_redact_pii", lambda: noopw(textstats.redact_pii(textstats.augment_pii(docs))))
+    timed("corpus_mixture", lambda: noopw(textstats.mixture_sample(docs)))
+
+    def _inc():
+        aug = dedup.augmented_docs(docs)
+        from pyspark.sql import functions as FF
+        batch = aug.filter(FF.col("doc_id") % dedup.INC_INDEX_MOD != 0)
+        index = aug.filter(FF.col("doc_id") % dedup.INC_INDEX_MOD == 0).select(
+            textstats.fingerprint(FF.col("text")).alias("fingerprint")
+        )
+        noopw(dedup.incremental_dedup(batch, index))
+
+    timed("dedup_incremental", _inc)
     timed("text_pack_shards", lambda: noopw(textstats.pack_shards(docs)))
     timed("text_decontaminate", lambda: noopw(textstats.decontaminate(docs)))
     timed("corpus_canonical", lambda: (noopw(dedup.canonical_selection(dedup.augmented_docs(docs))), spark.catalog.clearCache()))

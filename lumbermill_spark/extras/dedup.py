@@ -105,6 +105,45 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1b. incremental (cross-run) exact dedup — the "day 2" shape of exact_dedup:
+# a NEW ingest batch is deduped against the fingerprint index of everything
+# already in the corpus, so re-crawls never re-pay the full self-join. Scale
+# shape: the batch is fingerprinted in one projection, self-deduped on one
+# hash shuffle of the 32-hex fingerprint, then LEFT-joined against the index
+# on the same key — at production the index table is bucketed by fingerprint
+# so that join reuses the index's layout instead of reshuffling 10^12 rows;
+# the batch side (the small, new data) is the only thing that moves.
+# ---------------------------------------------------------------------------
+
+INC_INDEX_MOD = 4  # driver-gate convention: doc_id % 4 == 0 is "already ingested"
+
+
+def incremental_dedup(batch: DataFrame, index_fps: DataFrame) -> DataFrame:
+    """Every batch row flagged against the prior-corpus fingerprint index:
+    dup_of_index (fingerprint already ingested), dup_in_batch (not the
+    min-doc_id holder of its fingerprint within the batch), keep (neither).
+    `index_fps` needs one column `fingerprint` (md5 of normalized text,
+    same as textstats.fingerprint)."""
+    from pyspark.sql import Window
+
+    fp = batch.withColumn("fingerprint", textstats.fingerprint(F.col("text")))
+    w = Window.partitionBy("fingerprint")
+    flagged = fp.withColumn(
+        "dup_in_batch", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    idx = index_fps.select("fingerprint").distinct().withColumn("_hit", F.lit(True))
+    out = flagged.join(idx, "fingerprint", "left")
+    hit = F.coalesce(F.col("_hit"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        hit.alias("dup_of_index"),
+        "dup_in_batch",
+        (~F.col("dup_in_batch") & ~hit).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2. n-gram (character trigram) Jaccard with band-join blocking
 # ---------------------------------------------------------------------------
 

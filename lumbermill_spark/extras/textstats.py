@@ -411,3 +411,64 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.alias("n_phones"),
         red.alias("redacted_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture rebalancing — deterministic stratified downsampling to a
+# target source/language mixture (the "data mixing" step of an LLM corpus
+# pipeline, e.g. The Pile / DoReMi-style static weights). Given target
+# shares p_s per stratum and observed counts n_s, the largest corpus
+# achievable WITHOUT upsampling while hitting the mixture is
+# T = min_s(n_s / p_s); each stratum is then hash-sampled at
+# frac_s = T * p_s / n_s (the binding stratum keeps everything). Membership
+# is a pure function of (doc_id, salt) — same engine-portable md5 cutoff as
+# hash_sample, so the exact kept set is replayable by the SQL oracle and is
+# stable across retries/resumes. Scale shape: one tiny per-stratum count
+# agg (#strata rows), the 1-row min broadcast back, and a broadcast join of
+# the #strata fraction table onto the scan — the corpus itself is touched
+# by exactly one filter pass, no wide shuffle.
+# All float steps are single IEEE-754 ops written in the same order on both
+# engines, so the double `frac_s` is bit-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+MIX_SALT = "lmmix-v1"
+DEFAULT_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    stratum_col: str = "lang",
+    salt: str = MIX_SALT,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rows kept by the target mixture: (key_col, stratum_col). Strata
+    absent from `weights` (share 0) are dropped entirely — a mixture that
+    doesn't name a source excludes it."""
+    weights = DEFAULT_MIX_WEIGHTS if weights is None else weights
+
+    p_s = None
+    for k, v in sorted(weights.items()):
+        cond = F.col(stratum_col) == F.lit(k)
+        p_s = F.when(cond, F.lit(float(v))) if p_s is None else p_s.when(cond, F.lit(float(v)))
+    p_s = p_s.otherwise(F.lit(0.0))
+
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("p_s", p_s)
+        .filter(F.col("p_s") > 0)
+    )
+    t_min = counts.agg(F.min(F.col("n_s") / F.col("p_s")).alias("t_min"))
+    fracs = counts.crossJoin(F.broadcast(t_min)).select(
+        stratum_col,
+        ((F.col("t_min") * F.col("p_s")) / F.col("n_s")).alias("frac"),
+    )
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+    return (
+        df.join(F.broadcast(fracs), stratum_col)
+        .filter(h.cast("double") < F.col("frac") * F.lit(4294967296.0))
+        .select(key_col, stratum_col)
+    )

@@ -582,3 +582,45 @@ SELECT doc_id, n_emails, n_ips,
   regexp_replace(t, '{TS.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
 FROM r2
 """
+
+
+def corpus_mixture() -> str:
+    """Replay of extras.textstats.mixture_sample: per-stratum counts, the
+    no-upsampling corpus cap T = min(n_s / p_s), per-stratum keep fraction
+    (T * p_s) / n_s in the same IEEE op order as the Spark expression, and
+    the md5(salt:doc_id) cutoff. Weights/salt shared from the Spark module."""
+    case = " ".join(
+        f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in sorted(TS.DEFAULT_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_s FROM documents GROUP BY lang),
+w AS (SELECT lang, n_s, CASE lang {case} ELSE CAST(0.0 AS DOUBLE) END AS p_s FROM c),
+t AS (SELECT min(n_s / p_s) AS t_min FROM w WHERE p_s > 0),
+f AS (SELECT lang, (t.t_min * w.p_s) / w.n_s AS frac FROM w, t WHERE w.p_s > 0)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f ON d.lang = f.lang
+WHERE ('0x'||substring(md5('{TS.MIX_SALT}' || ':' || CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT::DOUBLE
+      < f.frac * 4294967296.0
+"""
+
+
+def dedup_incremental() -> str:
+    """Replay of extras.dedup.incremental_dedup over the driver-gate split
+    of the augmented docs: doc_id % INC_INDEX_MOD == 0 is the prior-corpus
+    index, the rest is the new batch."""
+    return f"""
+WITH {AUG_DOCS},
+b AS (SELECT doc_id, {FINGERPRINT} AS fingerprint FROM docs
+      WHERE doc_id % {D.INC_INDEX_MOD} <> 0),
+idx AS (SELECT DISTINCT {FINGERPRINT} AS fingerprint FROM docs
+        WHERE doc_id % {D.INC_INDEX_MOD} = 0),
+fl AS (SELECT doc_id, fingerprint,
+         (doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)) AS dup_in_batch
+       FROM b)
+SELECT fl.doc_id, fl.fingerprint,
+  (idx.fingerprint IS NOT NULL) AS dup_of_index,
+  fl.dup_in_batch,
+  (NOT fl.dup_in_batch AND idx.fingerprint IS NULL) AS keep
+FROM fl LEFT JOIN idx ON fl.fingerprint = idx.fingerprint
+"""

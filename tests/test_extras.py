@@ -424,3 +424,46 @@ def test_redact_pii_golden(spark):
     assert out[2]["n_phones"] == 1 and out[2]["redacted_text"] == "call <PHONE> re 123-45-6789"
     assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
     assert out[4]["redacted_text"] == "both <EMAIL> <IP> <PHONE>"
+
+
+def test_mixture_sample_golden(spark):
+    """Hand-checkable mixture: en is 4 docs, fr is 1; equal target shares
+    make fr the binding stratum (T = 2), so frac_en = 0.25, frac_fr = 1.0.
+    Expected membership recomputed here with hashlib over the same
+    md5(salt:doc_id) cutoff the engine uses."""
+    import hashlib
+
+    rows = [(i, f"t{i}", "en") for i in (1, 2, 3, 4)] + [(5, "t5", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]
+        for r in textstats.mixture_sample(df, {"en": 0.5, "fr": 0.5}).collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"{textstats.MIX_SALT}:{i}".encode()).hexdigest()[:8], 16)
+
+    expected = {i for i in (1, 2, 3, 4) if h(i) < (2.0 * 0.5) / 4 * 2**32} | {5}
+    assert out == expected
+    # a stratum with no weight is dropped entirely
+    df2 = df.withColumn("lang", df.lang)  # same frame
+    out2 = {r["doc_id"] for r in textstats.mixture_sample(df2, {"fr": 1.0}).collect()}
+    assert out2 == {5}
+
+
+def test_incremental_dedup_golden(spark):
+    """Flag semantics against a prior-corpus index: batch self-dup keeps the
+    min doc_id, index hits are dropped even when unique in the batch."""
+    from lumbermill_spark.extras import dedup
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "doc_id long, text string"
+    )
+    index = spark.createDataFrame([("b",), ("z",)], "text string").select(
+        textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(batch, index).collect()}
+    assert (out[1]["dup_of_index"], out[1]["dup_in_batch"], out[1]["keep"]) == (False, False, True)
+    assert (out[2]["dup_of_index"], out[2]["dup_in_batch"], out[2]["keep"]) == (False, True, False)
+    assert (out[3]["dup_of_index"], out[3]["dup_in_batch"], out[3]["keep"]) == (True, False, False)
+    assert (out[4]["dup_of_index"], out[4]["dup_in_batch"], out[4]["keep"]) == (False, False, True)

@@ -151,3 +151,29 @@ def test_repetition_and_redaction_are_pure_projections(spark):
         plan = _plan(df)
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mixture_and_incremental_plan_shapes(spark):
+    """mixture_sample touches the corpus with ONE filter pass: the stratum
+    fraction table must come back as broadcast joins (no SortMergeJoin, no
+    cartesian). incremental_dedup must window/join on a fingerprint hash
+    partitioning and never go cartesian."""
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.extras import dedup, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mix = textstats.mixture_sample(docs)
+    p1 = _plan(mix)
+    assert "CartesianProduct" not in p1
+    assert "SortMergeJoin" not in p1
+
+    aug = dedup.augmented_docs(docs)
+    batch = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD != 0)
+    index = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD == 0).select(
+        textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    p2 = _plan(dedup.incremental_dedup(batch, index))
+    assert "CartesianProduct" not in p2
+    assert "hashpartitioning(fingerprint" in p2
+    assert "Exchange SinglePartition" not in p2
