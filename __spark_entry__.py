@@ -372,6 +372,26 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup.incremental_dedup(batch, index)
 
 
+UNIGRAM_GATE_K = 16  # small vocab cap so the sf0.01 gate exercises OOV scoring
+
+
+def _q_text_line_dedup(spark, sf_dir):
+    """CCNet-style frequent-line boilerplate removal over the
+    deterministically line-augmented documents: lines in >= LINE_MIN_DOCS
+    distinct docs are dropped, docs rebuilt in original line order."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.remove_frequent_lines(textstats.augment_lines(_docs(spark, sf_dir)))
+
+
+def _q_text_unigram_logprob(spark, sf_dir):
+    """Corpus unigram LM scoring (cheap perplexity proxy): top-K vocab with
+    add-one smoothing, per-doc mean token log-prob + OOV count."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.unigram_logprob(_docs(spark, sf_dir), vocab_k=UNIGRAM_GATE_K)
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -410,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_text_redact_pii,
         "corpus_mixture": _q_corpus_mixture,
         "dedup_incremental": _q_dedup_incremental,
+        "text_line_dedup": _q_text_line_dedup,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -470,6 +492,8 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": OX.text_redact_pii(),
         "corpus_mixture": OX.corpus_mixture(),
         "dedup_incremental": OX.dedup_incremental(),
+        "text_line_dedup": OX.text_line_dedup(),
+        "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -495,3 +495,185 @@ def mixture_sample(
         .filter(h.cast("double") < F.col("frac") * F.lit(4294967296.0))
         .select(key_col, stratum_col)
     )
+
+# ---------------------------------------------------------------------------
+# frequent-line boilerplate removal — the CCNet / RefinedWeb line-dedup pass:
+# a line of text that recurs across many DISTINCT documents is navigation /
+# footer / cookie-banner boilerplate, not content, and is dropped from every
+# document it appears in. Scale shape: one posexplode (linear, no shuffle),
+# one grouped count on a 16-byte line digest (map-side combined), and the
+# frequent set — tiny by construction, boilerplate is the point — broadcast
+# back as a hash anti-join; documents are reassembled with a single
+# groupBy(doc_id). No window, no self-join on the line stream.
+# The synthetic documents are single-line, so the driver query runs over a
+# deterministically AUGMENTED table (augment_lines — both engines construct
+# it identically, the same convention as augment_pii / dedup's
+# augmented_docs) so the removal is verified on real recurring lines.
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DOCS = 30  # a line in >= this many distinct docs is boilerplate
+
+BOILER_NAV = "home about contact privacy terms"
+BOILER_NEWS = "subscribe to our newsletter for updates"
+BOILER_COOKIE = "this site uses cookies to improve your experience"
+LINE_NAV_MOD = 2  # doc_id % 2 == 0 -> nav line prepended
+LINE_NEWS_MOD = 3
+LINE_COOKIE_MOD = 5
+
+
+def augment_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic line-structure augmentation for verification: wraps the
+    (single-line) synthetic text with shared boilerplate lines on a doc_id
+    grid, newline-joined. A rare content line ("ref <doc_id>") is appended to
+    every doc so each doc keeps at least one never-frequent line."""
+    d, t = F.col("doc_id"), F.col(text_col)
+    nav = F.when(d % LINE_NAV_MOD == 0, F.lit(BOILER_NAV)).otherwise(F.lit(None))
+    news = F.when(d % LINE_NEWS_MOD == 0, F.lit(BOILER_NEWS)).otherwise(F.lit(None))
+    cookie = F.when(d % LINE_COOKIE_MOD == 0, F.lit(BOILER_COOKIE)).otherwise(F.lit(None))
+    ref = F.concat(F.lit("ref "), d.cast("string"))
+    return df.withColumn(text_col, F.concat_ws("\n", nav, t, news, cookie, ref))
+
+
+def remove_frequent_lines(
+    df: DataFrame, min_docs: int = LINE_MIN_DOCS, text_col: str = "text"
+) -> DataFrame:
+    """Strip every line that occurs in >= min_docs distinct documents.
+
+    Output one row per input document:
+      n_lines          lines before the pass
+      n_lines_removed  boilerplate lines dropped
+      clean_text       surviving lines, original order, newline-joined
+                       ('' when everything was boilerplate)
+    Lines are keyed by md5 digest so the count shuffle moves 16 bytes per
+    line instead of the line text."""
+    lines = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("lk", F.md5(F.col("line")))
+    frequent = (
+        lines.groupBy("lk")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lk")
+    )
+    kept = lines.join(F.broadcast(frequent), "lk", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s.line
+            ),
+        ).alias("clean_text"),
+    )
+    # per-doc line totals come straight off the base table (size of the
+    # split, no explode) so the corpus is exploded exactly twice — frequent-
+    # set build and anti-join probe — the two-pass minimum for this op
+    totals = df.select(
+        "doc_id", F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram LM scoring — the cheap perplexity proxy (CCNet scores with a
+# 5-gram KenLM; the unigram version is the same pipeline shape): pass 1
+# builds the corpus token-frequency table, caps it to the top-K vocabulary,
+# and derives add-one-smoothed log probabilities; pass 2 scores every
+# document by its mean token log-prob and OOV fraction. Scale shape: the
+# vocab build is one map-side-combined token count plus a distributed
+# TakeOrdered top-K (never a single-partition window); corpus totals are a
+# 1-row aggregate broadcast via crossJoin; scoring is a broadcast hash join
+# of the K-row vocab onto the exploded token stream, re-aggregated per doc
+# with partial aggregation (the shuffle carries ~one row per doc per
+# partition, not one per token).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_VOCAB_K = 10_000  # vocab cap; broadcast side stays K rows
+
+
+def unigram_logprob(
+    df: DataFrame, vocab_k: int = UNIGRAM_VOCAB_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed top-K unigram LM.
+
+    p(w) = (c_w + 1) / (N + V + 1) for vocab words, 1 / (N + V + 1) for OOV
+    (N = total tokens in the corpus, V = distinct tokens BEFORE the top-K
+    cap, so the cap changes which words score as OOV but not the smoothing
+    mass). Tokens are lowercased whitespace words. Top-K ties break on
+    (count desc, token asc) so the vocabulary is deterministic.
+
+    Output per doc: n_tokens, n_oov, avg_logprob (natural log, 6 dp; NULL
+    for empty docs). Empty documents survive with n_tokens = 0."""
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = df.select("doc_id", F.explode_outer(words).alias("tok"))
+
+    # The count table is vocab-sized (small); persist it so totals and the
+    # top-K don't each re-tokenize the corpus, then pin the two tiny derived
+    # frames with an eager localCheckpoint and release the cache (the same
+    # hygiene as dedup._finalize). Net corpus cost: exactly two tokenization
+    # passes — vocabulary build and scoring.
+    counts = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_total")
+    )
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_total") + 1)), 12
+            ).alias("logp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    oov_logp = (
+        totals.select(
+            F.round(F.log(1.0 / (F.col("n_total") + F.col("v_total") + 1)), 12).alias(
+                "oov_logp"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(oov_logp))
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tok").isNotNull() & F.col("logp").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.avg(
+                F.when(
+                    F.col("tok").isNotNull(), F.coalesce(F.col("logp"), F.col("oov_logp"))
+                )
+            ).alias("_alp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+        F.round(F.col("_alp"), 6).alias("avg_logprob"),
+    )

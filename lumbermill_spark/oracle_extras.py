@@ -624,3 +624,67 @@ SELECT fl.doc_id, fl.fingerprint,
   (NOT fl.dup_in_batch AND idx.fingerprint IS NULL) AS keep
 FROM fl LEFT JOIN idx ON fl.fingerprint = idx.fingerprint
 """
+
+
+def text_line_dedup() -> str:
+    """Replay of extras.textstats.remove_frequent_lines over the
+    deterministically line-augmented documents (augment_lines; same
+    convention as augment_pii): lines recurring in >= LINE_MIN_DOCS distinct
+    docs are dropped, documents are rebuilt in original line order."""
+    aug = (
+        "concat_ws(chr(10), "
+        f"CASE WHEN doc_id % {TS.LINE_NAV_MOD} = 0 THEN '{TS.BOILER_NAV}' END, "
+        "text, "
+        f"CASE WHEN doc_id % {TS.LINE_NEWS_MOD} = 0 THEN '{TS.BOILER_NEWS}' END, "
+        f"CASE WHEN doc_id % {TS.LINE_COOKIE_MOD} = 0 THEN '{TS.BOILER_COOKIE}' END, "
+        "'ref ' || doc_id)"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+l AS (SELECT doc_id,
+        unnest(list_transform(string_split(t, chr(10)),
+                              (x, i) -> {{'pos': i, 'line': x}})) AS u
+      FROM a),
+ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM l),
+freq AS (SELECT line FROM ln GROUP BY line
+         HAVING count(DISTINCT doc_id) >= {TS.LINE_MIN_DOCS}),
+kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM freq)),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+SELECT tot.doc_id,
+  tot.n_lines::INT AS n_lines,
+  (tot.n_lines - coalesce(reb.n_kept, 0))::INT AS n_lines_removed,
+  coalesce(reb.clean_text, '') AS clean_text
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+"""
+
+
+def text_unigram_logprob(vocab_k: int) -> str:
+    """Replay of extras.textstats.unigram_logprob: corpus token counts,
+    top-K vocabulary (count desc, token asc), add-one smoothing over
+    (N + V + 1) with V counted BEFORE the cap, per-token logp rounded to
+    12 dp on both engines before the per-doc mean (kills libm ulp skew)."""
+    return f"""
+WITH w AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+c AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS v_total FROM c),
+v AS (SELECT tok, round(ln((c + 1) / (n_total + v_total + 1)), 12) AS logp
+      FROM c, tot ORDER BY c DESC, tok LIMIT {vocab_k}),
+o AS (SELECT round(ln(1.0 / (n_total + v_total + 1)), 12) AS oov_logp FROM tot),
+s AS (SELECT t.doc_id, count(*) AS n_tokens,
+        sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        avg(coalesce(v.logp, o.oov_logp)) AS alp
+      FROM t LEFT JOIN v ON t.tok = v.tok, o GROUP BY t.doc_id)
+SELECT d.doc_id,
+  coalesce(s.n_tokens, 0)::INT AS n_tokens,
+  coalesce(s.n_oov, 0)::INT AS n_oov,
+  round(s.alp, 6) AS avg_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN s ON d.doc_id = s.doc_id
+"""

@@ -467,3 +467,49 @@ def test_incremental_dedup_golden(spark):
     assert (out[2]["dup_of_index"], out[2]["dup_in_batch"], out[2]["keep"]) == (False, True, False)
     assert (out[3]["dup_of_index"], out[3]["dup_in_batch"], out[3]["keep"]) == (True, False, False)
     assert (out[4]["dup_of_index"], out[4]["dup_in_batch"], out[4]["keep"]) == (False, False, True)
+
+
+def test_remove_frequent_lines_golden(spark):
+    """Hand-built corpus: the 'boiler' line appears in 3 distinct docs
+    (threshold 3 -> removed everywhere, including its repeat inside doc 2);
+    rare lines survive in original order; a doc that is ALL boilerplate
+    comes back with clean_text = ''."""
+    rows = [
+        (0, "boiler\nalpha\nbeta"),
+        (1, "gamma\nboiler"),
+        (2, "boiler\nboiler\ndelta"),
+        (3, "epsilon\nzeta"),
+        (4, "boiler"),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.remove_frequent_lines(df, min_docs=3).collect()
+    }
+    assert len(out) == 5
+    assert (out[0]["n_lines"], out[0]["n_lines_removed"], out[0]["clean_text"]) == (3, 1, "alpha\nbeta")
+    assert (out[1]["n_lines"], out[1]["n_lines_removed"], out[1]["clean_text"]) == (2, 1, "gamma")
+    # repeats inside one doc count once for the distinct-doc rule but are all removed
+    assert (out[2]["n_lines"], out[2]["n_lines_removed"], out[2]["clean_text"]) == (3, 2, "delta")
+    assert (out[3]["n_lines"], out[3]["n_lines_removed"], out[3]["clean_text"]) == (2, 0, "epsilon\nzeta")
+    assert (out[4]["n_lines"], out[4]["n_lines_removed"], out[4]["clean_text"]) == (1, 1, "")
+
+
+def test_unigram_logprob_golden(spark):
+    """Hand-computed smoothed unigram scores. Corpus: 'a a b' + 'a c' ->
+    N=5, V=3, denom=9; with vocab_k=2 the vocabulary is {a (c=3), b (c=1)}
+    (tie b/c broken by token asc) and 'c' scores as OOV."""
+    import math
+
+    rows = [(0, "a a b"), (1, "a c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in textstats.unigram_logprob(df, vocab_k=2).collect()
+    }
+    lp = lambda p: round(math.log(p), 12)
+    la, lb, loov = lp(4 / 9), lp(2 / 9), lp(1 / 9)
+    assert (out[0]["n_tokens"], out[0]["n_oov"]) == (3, 0)
+    assert out[0]["avg_logprob"] == round((2 * la + lb) / 3, 6)
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (2, 1)
+    assert out[1]["avg_logprob"] == round((la + loov) / 2, 6)
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["avg_logprob"]) == (0, 0, None)
