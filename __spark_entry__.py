@@ -392,6 +392,31 @@ def _q_text_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir), vocab_k=UNIGRAM_GATE_K)
 
 
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment — zero-shuffle hash
+    projection; the exact assignment is the contract."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.corpus_split(_docs(spark, sf_dir))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) corpus report card: counts, char/token totals,
+    exact p50/p95 char lengths."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.corpus_stats(_docs(spark, sf_dir))
+
+
+def _q_text_pack_shuffled(spark, sf_dir):
+    """Shuffled shard packing: deterministic pseudorandom order, two-level
+    prefix sum on hash-top-bit buckets — oracle replays the naive global
+    cumsum over the same order."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.pack_shards_shuffled(_docs(spark, sf_dir))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -432,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "text_line_dedup": _q_text_line_dedup,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        "corpus_split": _q_corpus_split,
+        "corpus_stats": _q_corpus_stats,
+        "text_pack_shuffled": _q_text_pack_shuffled,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -494,6 +522,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": OX.dedup_incremental(),
         "text_line_dedup": OX.text_line_dedup(),
         "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),
+        "corpus_split": OX.corpus_split(),
+        "corpus_stats": OX.corpus_stats(),
+        "text_pack_shuffled": OX.text_pack_shuffled(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -677,3 +677,128 @@ def unigram_logprob(
         F.col("n_oov").cast("int").alias("n_oov"),
         F.round(F.col("_alp"), 6).alias("avg_logprob"),
     )
+
+# ---------------------------------------------------------------------------
+# train/val/test split — deterministic disjoint assignment from the same
+# md5(salt:doc_id) hash as hash_sample: one pure projection, zero shuffle,
+# stable across retries/resumes/engines, and the three sets are disjoint and
+# exhaustive by construction (cutoff intervals partition [0, 2^32)).
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "lmsplit-v1"
+DEFAULT_SPLIT_WEIGHTS = (0.98, 0.01, 0.01)  # train, val, test
+
+
+def corpus_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = DEFAULT_SPLIT_WEIGHTS,
+    salt: str = SPLIT_SALT,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each row to 'train' / 'val' / 'test' by hash cutoff. The two
+    cutoffs are integers, so membership is an exact integer comparison (no
+    float boundary ambiguity between engines)."""
+    w_train, w_val, w_test = weights
+    if abs(w_train + w_val + w_test - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+    return df.withColumn(
+        "split",
+        F.when(h < cut1, F.lit("train")).when(h < cut2, F.lit("val")).otherwise(F.lit("test")),
+    ).select(key_col, "split")
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per (lang, source) corpus report card: doc count, total chars,
+    total whitespace tokens, exact interpolated p50/p95 char lengths and
+    mean tokens-per-doc (6 dp). One grouped aggregate over #strata groups.
+    Same exact-`percentile` contract as aggregate.router_rollup (the
+    production path at 10^12 rows would swap in approx_percentile; the
+    exact version is what a SQL oracle can replay value-for-value)."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("_nt", ws_token_count(t))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(t)).alias("total_chars"),
+            F.sum("_nt").alias("total_ws_tokens"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.95)"), 6).alias("p95_chars"),
+            F.round(F.avg("_nt"), 6).alias("avg_ws_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffled shard packing — the "global shuffle then pack" step before
+# pre-training: documents are packed in a deterministic PSEUDORANDOM order
+# (md5(salt:doc_id), doc_id) instead of doc_id order, so consecutive
+# training shards mix the corpus. Same two-level prefix-sum shape as
+# pack_shards — the bucket key is the TOP BITS of the shuffle hash, which is
+# a prefix of the global shuffle order, so per-bucket subtotals driver-
+# prefixed and broadcast back + an in-bucket window reproduce the exact
+# global running sum without a single-task sort. Bucket count auto-scales
+# (power of two) so both the driver prefix and the per-bucket window stay
+# bounded at any corpus size.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SALT = "lmshuffle-v1"
+
+
+def pack_shards_shuffled(
+    df: DataFrame,
+    budget_tokens: int = DEFAULT_SHARD_BUDGET,
+    salt: str = SHUFFLE_SALT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget packing in deterministic shuffled order.
+
+    Output: (doc_id, n_tokens, shuffle_key, offset_tokens, shard_id) — one
+    row per doc; offset_tokens is the exclusive prefix of n_tokens over the
+    global (shuffle_key, doc_id) order, shard_id = floor(offset / budget).
+    The oracle replays the naive global cumsum over the same order."""
+    n_docs = df.count()
+    bits = 12  # 4096 buckets at test scale ...
+    while (1 << bits) * PACK_BUCKET < n_docs and (1 << bits) < MAX_PACK_BUCKETS:
+        bits += 1  # ... growing so ~PACK_BUCKET docs/bucket, capped at 2^20
+    shift = 32 - bits
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    d = (
+        df.select("doc_id", bpe_token_count(F.col(text_col)).alias("n_tokens"))
+        .withColumn("shuffle_key", h)
+        .withColumn("bucket", F.shiftrightunsigned(F.col("shuffle_key"), shift))
+    )
+    subtot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    acc = 0
+    rows = []
+    for r in sorted(subtot, key=lambda r: r["bucket"]):
+        rows.append((r["bucket"], acc))
+        acc += r["s"]
+    spark = df.sparkSession
+    offsets = F.broadcast(spark.createDataFrame(rows, "bucket long, bucket_offset long"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(offsets, "bucket")
+        .withColumn(
+            "offset_tokens",
+            (F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "shuffle_key",
+            "offset_tokens",
+            F.floor(F.col("offset_tokens") / budget_tokens).cast("long").alias("shard_id"),
+        )
+    )

@@ -688,3 +688,65 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN s ON d.doc_id = s.doc_id
 """
+
+
+def _split_hash(salt: str) -> str:
+    return f"('0x'||substring(md5('{salt}' || ':' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+
+
+def corpus_split() -> str:
+    """Replay of extras.textstats.corpus_split: integer hash cutoffs
+    partition [0, 2^32) into train/val/test."""
+    w_train, w_val, _ = TS.DEFAULT_SPLIT_WEIGHTS
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    return f"""
+SELECT doc_id,
+  CASE WHEN {_split_hash(TS.SPLIT_SALT)} < {cut1} THEN 'train'
+       WHEN {_split_hash(TS.SPLIT_SALT)} < {cut2} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def corpus_stats() -> str:
+    """Replay of extras.textstats.corpus_stats: per-(lang, source) report
+    card with exact interpolated percentiles (quantile_cont == Spark's
+    `percentile`, the lm_router_rollup precedent)."""
+    ws = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+SELECT lang, source,
+  count(*)::BIGINT AS n_docs,
+  sum(length(text))::BIGINT AS total_chars,
+  sum({ws})::BIGINT AS total_ws_tokens,
+  round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+  round(quantile_cont(length(text), 0.95), 6) AS p95_chars,
+  round(avg({ws}), 6) AS avg_ws_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+def text_pack_shuffled() -> str:
+    """Replay of extras.textstats.pack_shards_shuffled: the bucketed
+    two-level scan must equal the naive global running sum over the
+    deterministic shuffle order (md5 hash, doc_id)."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PAT}')) AS INT) AS n_tokens,
+    {_split_hash(TS.SHUFFLE_SALT)} AS shuffle_key
+  FROM documents),
+c AS (
+  SELECT *,
+    coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+  FROM t)
+SELECT doc_id, n_tokens, shuffle_key, CAST(offset_tokens AS BIGINT) AS offset_tokens,
+  CAST(floor(offset_tokens / {TSX.DEFAULT_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM c
+"""

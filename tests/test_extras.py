@@ -513,3 +513,54 @@ def test_unigram_logprob_golden(spark):
     assert (out[1]["n_tokens"], out[1]["n_oov"]) == (2, 1)
     assert out[1]["avg_logprob"] == round((la + loov) / 2, 6)
     assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["avg_logprob"]) == (0, 0, None)
+
+
+def test_corpus_split_disjoint_exhaustive(spark, docs):
+    """Every doc gets exactly one split; observed shares track the weights;
+    assignment is identical across two runs (pure hash function)."""
+    out = textstats.corpus_split(docs, weights=(0.6, 0.2, 0.2))
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by = {}
+    for r in rows:
+        by[r["split"]] = by.get(r["split"], 0) + 1
+    n = len(rows)
+    assert set(by) <= {"train", "val", "test"}
+    assert abs(by.get("train", 0) / n - 0.6) < 0.1
+    again = {r["doc_id"]: r["split"] for r in textstats.corpus_split(docs, weights=(0.6, 0.2, 0.2)).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    with pytest.raises(ValueError):
+        textstats.corpus_split(docs, weights=(0.5, 0.2, 0.2))
+
+
+def test_pack_shards_shuffled_matches_naive(spark, docs):
+    """The bucketed two-level scan over the shuffle order must equal a
+    driver-side naive cumsum over the same (shuffle_key, doc_id) order —
+    and the order must actually differ from doc_id order (it shuffles)."""
+    out = textstats.pack_shards_shuffled(docs, budget_tokens=256).collect()
+    rows = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    acc = 0
+    for r in rows:
+        assert r["offset_tokens"] == acc, r
+        assert r["shard_id"] == acc // 256
+        acc += r["n_tokens"]
+    assert [r["doc_id"] for r in rows] != sorted(r["doc_id"] for r in rows)
+
+
+def test_corpus_stats_golden(spark):
+    """Hand-checked per-stratum report on a tiny frame (odd count -> p50
+    interpolation is exact mid-value)."""
+    rows = [
+        (0, "a b c", "en", "s0"),      # 5 chars, 3 tokens
+        (1, "dd ee", "en", "s0"),      # 5 chars, 2 tokens
+        (2, "ffffff g", "en", "s0"),   # 8 chars, 2 tokens
+        (3, "hh", "de", "s1"),         # 2 chars, 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r["lang"], r["source"]): r for r in textstats.corpus_stats(df).collect()}
+    en = out[("en", "s0")]
+    assert (en["n_docs"], en["total_chars"], en["total_ws_tokens"]) == (3, 18, 7)
+    assert en["p50_chars"] == 5.0
+    assert en["avg_ws_tokens"] == round(7 / 3, 6)
+    de = out[("de", "s1")]
+    assert (de["n_docs"], de["total_chars"], de["p95_chars"]) == (1, 2, 2.0)
