@@ -417,6 +417,31 @@ def _q_text_pack_shuffled(spark, sf_dir):
     return textstats.pack_shards_shuffled(_docs(spark, sf_dir))
 
 
+def _q_text_pack_sequences(spark, sf_dir):
+    """Materialized training shards: per-shard EOS-joined payloads in doc_id
+    order — oracle replays the naive cumsum + ordered string_agg; the
+    value hash pins the concatenated payload bytes."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_corpus_take_stratified(spark, sf_dir):
+    """Exact k-per-(lang,source) deterministic take: cutoff-prefiltered,
+    verified-exact — oracle replays the naive full per-stratum row_number."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.take_per_stratum(_docs(spark, sf_dir))
+
+
+def _q_dedup_normalized(spark, sf_dir):
+    """Casefold/punct-fold exact dedup over deterministically mangled
+    variants (uppercased + punctuation-noised copies)."""
+    from lumbermill_spark.extras import dedup
+
+    return dedup.normalized_dedup(dedup.augmented_variants(_docs(spark, sf_dir)))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -460,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "corpus_stats": _q_corpus_stats,
         "text_pack_shuffled": _q_text_pack_shuffled,
+        "text_pack_sequences": _q_text_pack_sequences,
+        "corpus_take_stratified": _q_corpus_take_stratified,
+        "dedup_normalized": _q_dedup_normalized,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -525,6 +553,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": OX.corpus_split(),
         "corpus_stats": OX.corpus_stats(),
         "text_pack_shuffled": OX.text_pack_shuffled(),
+        "text_pack_sequences": OX.text_pack_sequences(),
+        "corpus_take_stratified": OX.corpus_take_stratified(),
+        "dedup_normalized": OX.dedup_normalized(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -130,6 +130,12 @@ def main() -> None:
     timed("text_pack_shards", lambda: noopw(textstats.pack_shards(docs)))
     timed("text_decontaminate", lambda: noopw(textstats.decontaminate(docs)))
     timed("corpus_canonical", lambda: (noopw(dedup.canonical_selection(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
+    timed("corpus_split", lambda: noopw(textstats.corpus_split(docs)))
+    timed("corpus_stats", lambda: noopw(textstats.corpus_stats(docs)))
+    timed("text_pack_shuffled", lambda: noopw(textstats.pack_shards_shuffled(docs)))
+    timed("text_pack_sequences", lambda: noopw(textstats.pack_sequences(docs)))
+    timed("corpus_take_stratified", lambda: noopw(textstats.take_per_stratum(docs)))
+    timed("dedup_normalized", lambda: noopw(dedup.normalized_dedup(dedup.augmented_variants(docs))))
 
     from lumbermill_spark import frames as frames_mod
 

@@ -706,3 +706,65 @@ def canonical_selection(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRES
             "kept_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1c. normalized (casefold/punct-fold) exact dedup — "fuzzy-exact": two
+# documents are duplicates when they agree after lowercasing and collapsing
+# every non-alphanumeric run to a single space. Catches the web-scale
+# near-copies that differ only in case, punctuation, or whitespace (quote
+# styles, trailing '!!!', double spaces) at exact-dedup cost: one
+# projection + one hash shuffle on the 32-hex normalized fingerprint —
+# no candidate join at all. The corpus here is ASCII by construction; the
+# production analog folds Unicode first (NFKC via a pandas UDF ahead of
+# this same pipeline) — the fingerprint/grouping shape is unchanged.
+# CASE_*/PUNCT_* constants feed both this and the DuckDB oracle replay.
+# ---------------------------------------------------------------------------
+
+CASE_COPY_MOD = 9
+PUNCT_COPY_MOD = 14
+CASE_ID_OFFSET = 3_000_000
+PUNCT_ID_OFFSET = 4_000_000
+NORM_PAT = r"[^a-z0-9]+"  # post-lower: collapse runs of anything else
+
+
+def augmented_variants(docs: DataFrame) -> DataFrame:
+    """Deterministically inject case- and punctuation-mangled copies so the
+    normalized dedup has real work: every 9th doc re-appears UPPERCASED,
+    every 14th re-appears with doubled spaces, a comma per word gap, and a
+    trailing '!!'. Both normalize back to their source text."""
+    base = docs.select("doc_id", "text", "lang", "n_chars")
+    cased = base.filter(F.col("doc_id") % CASE_COPY_MOD == 0).select(
+        (F.col("doc_id") + CASE_ID_OFFSET).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    punct = base.filter(F.col("doc_id") % PUNCT_COPY_MOD == 0).select(
+        (F.col("doc_id") + PUNCT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.regexp_replace(F.col("text"), F.lit(" "), F.lit(" ,  ")), F.lit("!!")).alias("text"),
+        "lang",
+        (F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit(" ,  "))) + 2).alias("n_chars"),
+    )
+    return base.unionByName(cased).unionByName(punct)
+
+
+def normalize_text(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), NORM_PAT, " "))
+
+
+def normalized_dedup(docs: DataFrame) -> DataFrame:
+    """Per doc: normalized fingerprint, canonical (min) doc_id of its
+    normalized group, group size, keeper flag — exact_dedup's contract over
+    the folded text."""
+    from pyspark.sql import Window
+
+    fp = docs.withColumn("norm_fp", F.md5(normalize_text(F.col("text"))))
+    w = Window.partitionBy("norm_fp")
+    return fp.select(
+        "doc_id",
+        "norm_fp",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

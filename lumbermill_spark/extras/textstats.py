@@ -802,3 +802,132 @@ def pack_shards_shuffled(
             F.floor(F.col("offset_tokens") / budget_tokens).cast("long").alias("shard_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing, materialized — the step after pack_shards: each shard's
+# documents are concatenated (EOS-separated, doc_id order) into the actual
+# training sequence. Same two-level prefix sum as pack_shards, but the text
+# column RIDES THROUGH the bucket window instead of being re-joined on
+# doc_id afterwards — the subtotal branch only aggregates n_tokens, so
+# Catalyst prunes text out of it, and the full text bytes move exactly
+# twice: once in the bucket-window shuffle, once in the shard_id groupBy.
+# The collect_list per shard is bounded by construction (a shard holds at
+# most budget_tokens plus one overflowing document — documents never split),
+# so the grouped state can never blow an executor no matter the corpus size.
+# ---------------------------------------------------------------------------
+
+EOS_SEP = "<|endoftext|>"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = DEFAULT_SHARD_BUDGET,
+    bucket: int | None = None,
+    text_col: str = "text",
+    sep: str = EOS_SEP,
+) -> DataFrame:
+    """Materialized training shards: (shard_id, n_docs, shard_tokens,
+    first_doc_id, packed_text) where packed_text is the shard's documents
+    joined by `sep` in doc_id order. Token accounting matches pack_shards
+    exactly (the separator is not counted; a production tokenizer counts its
+    EOS as one token per doc — add n_docs if needed)."""
+    max_id = df.select(F.max("doc_id").alias("m")).first()["m"] or 0
+    if bucket is None:
+        bucket = max(PACK_BUCKET, -((max_id + 1) // -MAX_PACK_BUCKETS))
+    d = df.select(
+        "doc_id",
+        F.col(text_col).alias("_txt"),
+        bpe_token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("doc_id") / bucket).cast("long"))
+    subtot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    acc = 0
+    rows = []
+    for r in sorted(subtot, key=lambda r: r["bucket"]):
+        rows.append((r["bucket"], acc))
+        acc += r["s"]
+    spark = df.sparkSession
+    offsets = F.broadcast(spark.createDataFrame(rows, "bucket long, bucket_offset long"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.join(offsets, "bucket")
+        .withColumn(
+            "offset_tokens",
+            (F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long"),
+        )
+        .withColumn("shard_id", F.floor(F.col("offset_tokens") / budget_tokens).cast("long"))
+    )
+    docs_struct = F.array_sort(F.collect_list(F.struct("doc_id", "_txt")))
+    return offs.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.array_join(
+            F.transform(docs_struct, lambda s: s["_txt"]), sep
+        ).alias("packed_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact stratified take — exactly min(k, n) documents per (lang, source)
+# stratum in deterministic hash order (the "balanced eval slice" /
+# "per-domain spot-check" primitive). The naive plan — row_number() over
+# every stratum — sorts whole strata: with 10^12 rows over ~10^2 strata
+# that is a 10^10-row sort per window partition. Instead: (1) a tiny
+# grouped count (#strata rows) drives a per-stratum hash CUTOFF of
+# ~safety*k expected survivors, broadcast back as a filter, so the window
+# only ever sorts ~safety*k rows per stratum; (2) the result is VERIFIED
+# exact (selected == min(k, n) per stratum) and the cutoff escalates —
+# geometrically, to the full keyspace in the limit — on the astronomically
+# rare shortfall. Deterministic at every step, so the escalation loop
+# always converges to exactly the naive answer.
+# ---------------------------------------------------------------------------
+
+STRAT_SALT = "lmstrat-v1"
+STRAT_TAKE_K = 3  # gate-scale default; production callers pass their own k
+STRAT_SAFETY = 8  # initial oversampling factor for the cutoff pre-filter
+
+
+def take_per_stratum(
+    df: DataFrame,
+    k: int = STRAT_TAKE_K,
+    strata: tuple[str, ...] = ("lang", "source"),
+    salt: str = STRAT_SALT,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, *strata, rn): the min(k, n) hash-smallest docs per stratum,
+    rn = 1-based rank within the stratum by (hash, doc_id)."""
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+    d = df.select(key_col, *strata).withColumn("_h", h)
+    counts = {tuple(r[s] for s in strata): r["n"] for r in d.groupBy(*strata).agg(F.count("*").alias("n")).collect()}
+    spark = df.sparkSession
+    w = Window.partitionBy(*strata).orderBy("_h", key_col)
+    safety = STRAT_SAFETY
+    while True:
+        full = 1 << 32
+        rows = [
+            (*g, full if n <= k else min(full, -((full * k * safety) // -n)))
+            for g, n in counts.items()
+        ]
+        schema = ", ".join(f"{s} string" for s in strata) + ", _cut long"
+        cuts = F.broadcast(spark.createDataFrame(rows, schema))
+        sel = (
+            d.join(cuts, list(strata))
+            .filter(F.col("_h") < F.col("_cut"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(key_col, *strata, F.col("rn").cast("int").alias("rn"))
+        )
+        got = {
+            tuple(r[s] for s in strata): r["n"]
+            for r in sel.groupBy(*strata).agg(F.count("*").alias("n")).collect()
+        }
+        if all(got.get(g, 0) == min(k, n) for g, n in counts.items()):
+            return sel
+        safety = max(safety, 1) * 8

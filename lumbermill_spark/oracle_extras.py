@@ -750,3 +750,68 @@ SELECT doc_id, n_tokens, shuffle_key, CAST(offset_tokens AS BIGINT) AS offset_to
   CAST(floor(offset_tokens / {TSX.DEFAULT_SHARD_BUDGET}) AS BIGINT) AS shard_id
 FROM c
 """
+
+
+def text_pack_sequences() -> str:
+    """Replay of extras.textstats.pack_sequences: naive global running sum
+    → shard assignment → per-shard ordered string_agg. Equality (including
+    the concatenated payloads, value-hashed) proves both the bucketed scan
+    and the in-shard doc order."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PAT}')) AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+  FROM t)
+SELECT CAST(floor(offset_tokens / {TSX.DEFAULT_SHARD_BUDGET}) AS BIGINT) AS shard_id,
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS shard_tokens,
+  min(doc_id) AS first_doc_id,
+  string_agg(text, '{TSX.EOS_SEP}' ORDER BY doc_id) AS packed_text
+FROM c GROUP BY 1
+"""
+
+
+def corpus_take_stratified() -> str:
+    """Replay of extras.textstats.take_per_stratum: the cutoff-prefiltered,
+    verified-exact stratified take must equal the naive full row_number()
+    per stratum."""
+    return f"""
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY {_split_hash(TS.STRAT_SALT)}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {TS.STRAT_TAKE_K}
+"""
+
+
+def dedup_normalized() -> str:
+    """Replay of extras.dedup.normalized_dedup over augmented_variants: the
+    injected UPPERCASED / punctuation-mangled copies must land in their
+    source's normalized group."""
+    return f"""
+WITH vdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {D.CASE_ID_OFFSET}, upper(text)
+  FROM documents WHERE doc_id % {D.CASE_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {D.PUNCT_ID_OFFSET}, replace(text, ' ', ' ,  ') || '!!'
+  FROM documents WHERE doc_id % {D.PUNCT_COPY_MOD} = 0),
+fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '{D.NORM_PAT}', ' ', 'g'))) AS norm_fp
+  FROM vdocs)
+SELECT doc_id, norm_fp,
+  min(doc_id) OVER (PARTITION BY norm_fp) AS canonical_id,
+  count(*) OVER (PARTITION BY norm_fp) AS group_size,
+  (doc_id = min(doc_id) OVER (PARTITION BY norm_fp)) AS is_canonical
+FROM fp
+"""

@@ -564,3 +564,74 @@ def test_corpus_stats_golden(spark):
     assert en["avg_ws_tokens"] == round(7 / 3, 6)
     de = out[("de", "s1")]
     assert (de["n_docs"], de["total_chars"], de["p95_chars"]) == (1, 2, 2.0)
+
+
+def test_pack_sequences_payloads(spark, docs):
+    """Each shard's packed_text must be exactly its docs' texts EOS-joined
+    in doc_id order, shard_tokens the sum, and every doc appears in exactly
+    one shard."""
+    out = {r["shard_id"]: r for r in textstats.pack_sequences(docs, budget_tokens=512).collect()}
+    base = sorted(textstats.pack_shards(docs, budget_tokens=512).collect(), key=lambda r: r["doc_id"])
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_shard: dict = {}
+    for r in base:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) == set(out)
+    for sid, members in by_shard.items():
+        exp = textstats.EOS_SEP.join(texts[m["doc_id"]] for m in members)
+        assert out[sid]["packed_text"] == exp, sid
+        assert out[sid]["n_docs"] == len(members)
+        assert out[sid]["shard_tokens"] == sum(m["n_tokens"] for m in members)
+        assert out[sid]["first_doc_id"] == members[0]["doc_id"]
+
+
+def test_take_per_stratum_exact_and_escalates(spark, docs):
+    """The cutoff-prefiltered take must equal the naive per-stratum
+    row_number head for every stratum — including strata smaller than k
+    (kept whole) — and stays exact even when the initial cutoff is forced
+    into shortfall (safety escalation path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    k = 4
+    out = textstats.take_per_stratum(docs, k=k)
+    h = FF.expr(
+        "cast(conv(substr(md5(concat('lmstrat-v1', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    w = Window.partitionBy("lang", "source").orderBy("_h", "doc_id")
+    naive = (
+        docs.select("doc_id", "lang", "source").withColumn("_h", h)
+        .withColumn("rn", FF.row_number().over(w))
+        .filter(FF.col("rn") <= k)
+        .select("doc_id", "lang", "source", FF.col("rn").cast("int").alias("rn"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+
+    import lumbermill_spark.extras.textstats as T
+
+    orig = T.STRAT_SAFETY
+    T.STRAT_SAFETY = 0  # cutoff 0 on every >k stratum -> guaranteed shortfall
+    try:
+        forced = textstats.take_per_stratum(docs, k=k)
+        assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, naive.collect()))
+    finally:
+        T.STRAT_SAFETY = orig
+
+
+def test_normalized_dedup_folds_variants(spark, docs):
+    """Every injected cased/punct variant must join its source's normalized
+    group (canonical = the source doc_id); distinct originals stay singleton
+    groups."""
+    out = {r["doc_id"]: r for r in dedup.normalized_dedup(dedup.augmented_variants(docs)).collect()}
+    n_docs = docs.count()
+    for did, r in out.items():
+        if did >= dedup.CASE_ID_OFFSET:
+            src = did % dedup.CASE_ID_OFFSET if did < dedup.PUNCT_ID_OFFSET else did - dedup.PUNCT_ID_OFFSET
+            assert r["canonical_id"] == src, (did, r)
+            assert not r["is_canonical"]
+            assert r["group_size"] >= 2
+        else:
+            assert r["canonical_id"] == did  # originals are distinct texts
+    assert len(out) == n_docs + sum(
+        1 for d in range(n_docs) if d % dedup.CASE_COPY_MOD == 0
+    ) + sum(1 for d in range(n_docs) if d % dedup.PUNCT_COPY_MOD == 0)

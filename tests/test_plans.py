@@ -211,3 +211,29 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "Sort [" not in plan
+
+
+def test_pack_sequences_bucketed_and_bounded(spark):
+    """The materialized packing must keep the bucket-partitioned two-level
+    shape (broadcast offsets join, no single-partition window) all the way
+    through the shard_id groupBy."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.pack_sequences(docs, bucket=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_take_per_stratum_prefilters_before_window(spark):
+    """The stratified take must filter on the broadcast per-stratum cutoff
+    BELOW the row_number window (the whole point: the window sorts ~8k rows
+    per stratum, not the stratum) and must window on the strata key."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.take_per_stratum(docs, k=2))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(lang" in plan
