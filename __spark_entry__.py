@@ -373,6 +373,7 @@ def _q_dedup_incremental(spark, sf_dir):
 
 
 UNIGRAM_GATE_K = 16  # small vocab cap so the sf0.01 gate exercises OOV scoring
+BIGRAM_GATE_K = 16  # same idea: force real <unk> traffic through the bigram LM
 
 
 def _q_text_line_dedup(spark, sf_dir):
@@ -442,6 +443,23 @@ def _q_dedup_normalized(spark, sf_dir):
     return dedup.normalized_dedup(dedup.augmented_variants(_docs(spark, sf_dir)))
 
 
+def _q_text_bigram_logprob(spark, sf_dir):
+    """Bigram LM scoring (perplexity-filter ladder, rung 2): per-doc mean
+    conditional logprob under the corpus's own add-one-smoothed bigram model
+    with <unk>-collapsed top-K vocab."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
+
+
+def _q_text_chunk_sliding(spark, sf_dir):
+    """Sliding-window context chunking: overlapping token windows, pure
+    explode projection, zero shuffle."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.chunk_sliding(_docs(spark, sf_dir))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -488,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": _q_text_pack_sequences,
         "corpus_take_stratified": _q_corpus_take_stratified,
         "dedup_normalized": _q_dedup_normalized,
+        "text_chunk_sliding": _q_text_chunk_sliding,
+        "text_bigram_logprob": _q_text_bigram_logprob,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -556,6 +576,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": OX.text_pack_sequences(),
         "corpus_take_stratified": OX.corpus_take_stratified(),
         "dedup_normalized": OX.dedup_normalized(),
+        "text_chunk_sliding": OX.text_chunk_sliding(),
+        "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

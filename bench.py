@@ -136,6 +136,8 @@ def main() -> None:
     timed("text_pack_sequences", lambda: noopw(textstats.pack_sequences(docs)))
     timed("corpus_take_stratified", lambda: noopw(textstats.take_per_stratum(docs)))
     timed("dedup_normalized", lambda: noopw(dedup.normalized_dedup(dedup.augmented_variants(docs))))
+    timed("text_chunk_sliding", lambda: noopw(textstats.chunk_sliding(docs)))
+    timed("text_bigram_logprob", lambda: noopw(textstats.bigram_logprob(docs, vocab_k=16)))
 
     from lumbermill_spark import frames as frames_mod
 

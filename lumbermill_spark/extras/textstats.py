@@ -931,3 +931,147 @@ def take_per_stratum(
         if all(got.get(g, 0) == min(k, n) for g, n in counts.items()):
             return sel
         safety = max(safety, 1) * 8
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking — context-window preparation: each document is
+# split into overlapping token-window chunks (length CHUNK_LEN, stride
+# CHUNK_STRIDE). Pure per-row projection + explode: no shuffle anywhere,
+# output size ~n_tokens/stride rows per doc, trivially partition-parallel
+# at any corpus size. Tokens are whitespace words (the BPE-ish regex
+# tokenizer counts but cannot re-join losslessly); empty docs yield zero
+# chunks.
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 64  # gate-scale window; production ~2048
+CHUNK_STRIDE = 48  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+def chunk_sliding(
+    df: DataFrame,
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): chunk i covers
+    tokens [i*stride, i*stride + chunk_len); the last chunk starts at the
+    smallest multiple of stride reaching the tail (so every token is in
+    ≥1 chunk and no chunk is a suffix-duplicate of the previous)."""
+    if stride <= 0 or chunk_len < stride:
+        raise ValueError(f"need 0 < stride <= chunk_len, got {stride}, {chunk_len}")
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    d = df.select("doc_id", toks.alias("_ts")).withColumn("_n", F.size("_ts"))
+    n = F.col("_n")
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= chunk_len, F.lit(1))
+        .otherwise(F.floor((n - chunk_len + stride - 1) / stride).cast("int") + 1)
+    )
+    d = d.withColumn("_nc", n_chunks).filter(F.col("_nc") > 0)
+    d = d.select(
+        "doc_id",
+        "_ts",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx", "_start0"),
+    ).withColumn("_start", F.col("chunk_idx") * stride)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_len), F.col("_n") - F.col("_start")).cast("int").alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("_ts"), F.col("_start") + 1, F.lit(chunk_len)), " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring — the next rung above unigram_logprob on the CCNet
+# perplexity-filter ladder: per-doc mean conditional log-probability
+# p(w_i | w_{i-1}) under the corpus's own add-one-smoothed bigram model
+# over a top-K vocabulary (OOV tokens collapse to <unk> BEFORE counting,
+# the standard construction, so the model is closed over K+1 types; <s>
+# is the sentence-start context). Three corpus passes — vocabulary,
+# bigram counts, scoring — all map-side-combined aggregates / joins on
+# bounded keys: the bigram table is ≤(K+1)² rows by construction (and in
+# practice the observed-bigram sparsity), the context table derives from
+# it for free, and scoring joins both onto the pair stream. Since the
+# corpus scores ITSELF, every scored bigram exists in the count table —
+# the join is total, no missing-key smoothing branch.
+# ---------------------------------------------------------------------------
+
+BIGRAM_VOCAB_K = 10_000
+BOS = "<s>"
+UNK = "<unk>"
+
+
+def bigram_logprob(
+    df: DataFrame, vocab_k: int = BIGRAM_VOCAB_K, text_col: str = "text"
+) -> DataFrame:
+    """Per doc: n_tokens, n_unk (tokens outside the top-K vocab), and the
+    mean ln p(w_i | w_{i-1}) with add-one smoothing over V = K_effective + 1
+    types (6 dp; per-bigram logp rounded to 12 dp before the mean so libm
+    ulp skew can't break the value hash; NULL for empty docs)."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    pairs = df.select("doc_id", toks.alias("_ts")).select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(f"transform(_ts, (x, i) -> struct(if(i = 0, '{BOS}', _ts[i-1]) AS p, x AS c))")
+        ).alias("_pr"),
+    ).select("doc_id", F.col("_pr.p").alias("prev_raw"), F.col("_pr.c").alias("cur_raw"))
+
+    vocab = (
+        pairs.filter(F.col("cur_raw").isNotNull())
+        .groupBy("cur_raw")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("cur_raw"))
+        .limit(vocab_k)
+        .select(F.col("cur_raw").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    vm = vocab.count() + 1  # |vocab| + <unk>; driver-side K-bounded scalar
+
+    vc = F.broadcast(vocab.select(F.col("tok").alias("cur_raw"), F.lit(True).alias("_cv")))
+    vp = F.broadcast(vocab.select(F.col("tok").alias("prev_raw"), F.lit(True).alias("_pv")))
+    m = (
+        pairs.join(vc, "cur_raw", "left")
+        .join(vp, "prev_raw", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("prev_raw").isNull(), None)
+            .when(F.col("prev_raw") == BOS, F.lit(BOS))
+            .when(F.col("_pv"), F.col("prev_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("prev_m"),
+            F.when(F.col("cur_raw").isNull(), None)
+            .when(F.col("_cv"), F.col("cur_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("cur_m"),
+        )
+    )
+    bc = (
+        m.filter(F.col("cur_m").isNotNull())
+        .groupBy("prev_m", "cur_m")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    cc = bc.groupBy("prev_m").agg(F.sum("cb").alias("ct"))  # derived free
+    scored = (
+        m.join(bc, ["prev_m", "cur_m"])  # total: the corpus scores itself
+        .join(F.broadcast(cc), "prev_m")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum(F.when(F.col("cur_m") == UNK, 1).otherwise(0)).alias("_nu"),
+            F.avg(F.round(F.log((F.col("cb") + 1) / (F.col("ct") + vm)), 12)).alias("_alp"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("_nu"), F.lit(0)).cast("int").alias("n_unk"),
+            F.round(F.col("_alp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -815,3 +815,67 @@ SELECT doc_id, norm_fp,
   (doc_id = min(doc_id) OVER (PARTITION BY norm_fp)) AS is_canonical
 FROM fp
 """
+
+
+def text_chunk_sliding() -> str:
+    """Replay of extras.textstats.chunk_sliding: per-doc overlapping token
+    windows via generate_series + inclusive 1-based list slicing (DuckDB
+    clips at the tail exactly like Spark's slice())."""
+    L, S = TS.CHUNK_LEN, TS.CHUNK_STRIDE
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents),
+s AS (
+  SELECT doc_id, ts, len(ts) AS n,
+    CASE WHEN len(ts) = 0 THEN 0
+         WHEN len(ts) <= {L} THEN 1
+         ELSE (len(ts) - {L} + {S} - 1) // {S} + 1 END AS nc
+  FROM t)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  CAST(least({L}, n - i * {S}) AS INT) AS n_chunk_tokens,
+  array_to_string(ts[i * {S} + 1 : i * {S} + {L}], ' ') AS chunk_text
+FROM s, unnest(generate_series(0, nc - 1)) AS u(i)
+"""
+
+
+def text_bigram_logprob(vocab_k: int) -> str:
+    """Replay of extras.textstats.bigram_logprob: same top-K tie-break,
+    <unk> collapse before counting, add-one smoothing over |vocab|+1, and
+    the 12-dp per-bigram rounding before the mean."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+    CASE WHEN i = 1 THEN '{TS.BOS}' ELSE ts[i - 1] END AS prev_raw,
+    ts[i] AS cur_raw
+  FROM tok, unnest(generate_series(1, len(ts))) u(i)),
+vocab AS (
+  SELECT cur_raw AS tok FROM pairs GROUP BY cur_raw
+  ORDER BY count(*) DESC, cur_raw LIMIT {vocab_k}),
+vm AS (SELECT count(*) + 1 AS v FROM vocab),
+m AS (
+  SELECT doc_id,
+    CASE WHEN prev_raw = '{TS.BOS}' THEN '{TS.BOS}'
+         WHEN prev_raw IN (SELECT tok FROM vocab) THEN prev_raw
+         ELSE '{TS.UNK}' END AS prev_m,
+    CASE WHEN cur_raw IN (SELECT tok FROM vocab) THEN cur_raw
+         ELSE '{TS.UNK}' END AS cur_m
+  FROM pairs),
+bc AS (SELECT prev_m, cur_m, count(*) AS cb FROM m GROUP BY 1, 2),
+cc AS (SELECT prev_m, sum(cb) AS ct FROM bc GROUP BY 1),
+scored AS (
+  SELECT doc_id, count(*) AS nt,
+    sum(CASE WHEN cur_m = '{TS.UNK}' THEN 1 ELSE 0 END) AS nu,
+    avg(round(ln((cb + 1.0) / (ct + v)), 12)) AS alp
+  FROM m JOIN bc USING (prev_m, cur_m) JOIN cc USING (prev_m) CROSS JOIN vm
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(nt, 0)::INT AS n_tokens, coalesce(nu, 0)::INT AS n_unk,
+  round(alp, 6) AS avg_logprob
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""

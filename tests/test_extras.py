@@ -635,3 +635,51 @@ def test_normalized_dedup_folds_variants(spark, docs):
     assert len(out) == n_docs + sum(
         1 for d in range(n_docs) if d % dedup.CASE_COPY_MOD == 0
     ) + sum(1 for d in range(n_docs) if d % dedup.PUNCT_COPY_MOD == 0)
+
+
+def test_chunk_sliding_golden(spark):
+    """Hand-checked windows at chunk_len=4, stride=3 across the edge sizes:
+    empty (0 chunks), short (1), exact (1), one-over (2), long tail."""
+    rows = [
+        (0, ""),
+        (1, "a b c"),
+        (2, "a b c d"),
+        (3, "a b c d e"),
+        (4, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        textstats.chunk_sliding(df, chunk_len=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    got = [(r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"]) for r in out]
+    assert got == [
+        (1, 0, 3, "a b c"),
+        (2, 0, 4, "a b c d"),
+        (3, 0, 4, "a b c d"),
+        (3, 1, 2, "d e"),
+        (4, 0, 4, "t0 t1 t2 t3"),
+        (4, 1, 4, "t3 t4 t5 t6"),
+        (4, 2, 4, "t6 t7 t8 t9"),
+    ]
+    with pytest.raises(ValueError):
+        textstats.chunk_sliding(df, chunk_len=2, stride=3)
+
+
+def test_bigram_logprob_golden(spark):
+    """Hand-computed add-one bigram LM with vocab_k=1: vocab={b}, vm=2;
+    <unk> collapse, BOS context, empty doc -> NULL."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_logprob(df, vocab_k=1).collect()}
+    # bc: (<s>,u)=1 (u,b)=1 (b,u)=1 (<s>,b)=1 (b,b)=1; cc: <s>=2 u=1 b=2
+    lp = lambda cb, ct: round(math.log((cb + 1) / (ct + 2)), 12)
+    d0 = (lp(1, 2) + lp(1, 1) + lp(1, 2)) / 3
+    assert (out[0]["n_tokens"], out[0]["n_unk"]) == (3, 2)
+    assert out[0]["avg_logprob"] == round(d0, 6)
+    assert (out[1]["n_tokens"], out[1]["n_unk"]) == (2, 0)
+    assert out[1]["avg_logprob"] == round((lp(1, 2) + lp(1, 2)) / 2, 6)
+    assert (out[2]["n_tokens"], out[2]["n_unk"], out[2]["avg_logprob"]) == (0, 0, None)

@@ -237,3 +237,15 @@ def test_take_per_stratum_prefilters_before_window(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_chunk_sliding_is_pure_projection(spark):
+    """Chunking must stay a shuffle-free explode projection — no Exchange,
+    no Python, no join of any kind."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.chunk_sliding(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
