@@ -452,6 +452,14 @@ def _q_text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
 
 
+def _q_corpus_curate(spark, sf_dir):
+    """One-call curation verdict: token bounds + quality + repetition +
+    lang-ID folded into keep + fixed-order reason string."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.corpus_curate(_docs(spark, sf_dir))
+
+
 def _q_text_chunk_sliding(spark, sf_dir):
     """Sliding-window context chunking: overlapping token windows, pure
     explode projection, zero shuffle."""
@@ -508,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": _q_dedup_normalized,
         "text_chunk_sliding": _q_text_chunk_sliding,
         "text_bigram_logprob": _q_text_bigram_logprob,
+        "corpus_curate": _q_corpus_curate,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -578,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": OX.dedup_normalized(),
         "text_chunk_sliding": OX.text_chunk_sliding(),
         "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
+        "corpus_curate": OX.corpus_curate(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -138,6 +138,7 @@ def main() -> None:
     timed("dedup_normalized", lambda: noopw(dedup.normalized_dedup(dedup.augmented_variants(docs))))
     timed("text_chunk_sliding", lambda: noopw(textstats.chunk_sliding(docs)))
     timed("text_bigram_logprob", lambda: noopw(textstats.bigram_logprob(docs, vocab_k=16)))
+    timed("corpus_curate", lambda: noopw(textstats.corpus_curate(docs)))
 
     from lumbermill_spark import frames as frames_mod
 

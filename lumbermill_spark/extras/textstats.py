@@ -1075,3 +1075,46 @@ def bigram_logprob(
             F.round(F.col("_alp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# one-call curation verdict — the keep/drop decision a corpus pipeline
+# actually ships: every per-doc signal this module computes (token bounds,
+# quality score, repetition flags, language-ID) folded into one boolean plus
+# a fixed-order machine-readable reason string. Pure composition of the
+# existing native projections — still zero Python, zero shuffle; the reason
+# string is built from positional CASE fragments + rtrim so both engines
+# produce byte-identical values without null-skipping semantics entering
+# the contract.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_QUALITY = 0.5
+CURATE_MIN_TOKENS = 5
+CURATE_MAX_TOKENS = 100_000
+
+
+def corpus_curate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, quality_score, pred_lang, keep, reasons):
+    keep = passes ALL rules; reasons = comma-joined failed-rule names in
+    fixed order (too_short, too_long, low_quality, repetitive,
+    unknown_lang), '' when kept."""
+    d = with_repetition(with_langid(with_quality(with_token_counts(df), text_col), text_col), text_col)
+    checks = [
+        ("too_short", F.col("n_ws_tokens") < CURATE_MIN_TOKENS),
+        ("too_long", F.col("n_ws_tokens") > CURATE_MAX_TOKENS),
+        ("low_quality", F.col("quality_score") < CURATE_MIN_QUALITY),
+        ("repetitive", ~F.col("rep_keep")),
+        ("unknown_lang", F.col("pred_lang") == "und"),
+    ]
+    reasons = F.concat(*[F.when(c, F.lit(n + ",")).otherwise(F.lit("")) for n, c in checks])
+    keep = None
+    for _, c in checks:
+        keep = ~c if keep is None else keep & ~c
+    return d.select(
+        "doc_id",
+        "n_ws_tokens",
+        "quality_score",
+        "pred_lang",
+        keep.alias("keep"),
+        F.regexp_replace(reasons, ",$", "").alias("reasons"),
+    )

@@ -879,3 +879,37 @@ SELECT d.doc_id, coalesce(nt, 0)::INT AS n_tokens, coalesce(nu, 0)::INT AS n_unk
   round(alp, 6) AS avg_logprob
 FROM documents d LEFT JOIN scored USING (doc_id)
 """
+
+
+def corpus_curate() -> str:
+    """Replay of extras.textstats.corpus_curate by composing the three
+    existing signal replays as CTE subqueries (each already value-exact on
+    its own gate) + the shared threshold constants."""
+    n_ws = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    checks = [
+        ("too_short", f"t.n_ws < {TS.CURATE_MIN_TOKENS}"),
+        ("too_long", f"t.n_ws > {TS.CURATE_MAX_TOKENS}"),
+        ("low_quality", f"q.quality_score < {TS.CURATE_MIN_QUALITY}"),
+        ("repetitive", "NOT r.rep_keep"),
+        ("unknown_lang", "l.pred_lang = 'und'"),
+    ]
+    reasons = " || ".join(f"CASE WHEN {c} THEN '{n},' ELSE '' END" for n, c in checks)
+    keep = " AND ".join(f"NOT ({c})" for _, c in checks)
+    return f"""
+WITH q AS ({text_quality()}),
+r AS ({text_repetition()}),
+l AS ({text_langid()}),
+t AS (SELECT doc_id, {n_ws} AS n_ws FROM documents)
+SELECT t.doc_id,
+  CAST(t.n_ws AS INT) AS n_ws_tokens,
+  q.quality_score,
+  l.pred_lang,
+  ({keep}) AS keep,
+  regexp_replace({reasons}, ',$', '') AS reasons
+FROM t JOIN q ON q.doc_id = t.doc_id
+JOIN r ON r.doc_id = t.doc_id
+JOIN l ON l.doc_id = t.doc_id
+"""

@@ -683,3 +683,26 @@ def test_bigram_logprob_golden(spark):
     assert (out[1]["n_tokens"], out[1]["n_unk"]) == (2, 0)
     assert out[1]["avg_logprob"] == round((lp(1, 2) + lp(1, 2)) / 2, 6)
     assert (out[2]["n_tokens"], out[2]["n_unk"], out[2]["avg_logprob"]) == (0, 0, None)
+
+
+def test_corpus_curate_golden(spark):
+    """Every rule fires on a purpose-built row; reasons keep fixed order;
+    a clean doc keeps with '' reasons."""
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog and they run to town in winter"),  # clean (all words distinct)
+        (1, "a b"),                                                             # too_short
+        (2, "the " * 80),                                                       # repetitive (top word)
+        (3, "zz qq xx ww vv kk"),                                               # unknown_lang (+low quality)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.corpus_curate(df).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert not out[1]["keep"] and "too_short" in out[1]["reasons"]
+    assert not out[2]["keep"] and "repetitive" in out[2]["reasons"]
+    assert not out[3]["keep"] and out[3]["reasons"].endswith("unknown_lang")
+    # fixed rule order: comma-joined in declaration order, no trailing comma
+    for r in out.values():
+        assert not r["reasons"].endswith(",")
+        parts = r["reasons"].split(",") if r["reasons"] else []
+        order = ["too_short", "too_long", "low_quality", "repetitive", "unknown_lang"]
+        assert parts == [p for p in order if p in parts]
