@@ -61,7 +61,19 @@ def main() -> None:
     # run still carries ~1.5x residue; same lesson as the scaling protocol)
     run_pipeline("pandas")
     run_pipeline("pandas")
-    timed("pipeline_noop_pandas", lambda: run_pipeline("pandas"))
+    # the headline's runs are SPREAD across the whole bench (start / middle /
+    # end) instead of back-to-back: host-noise phases are time-correlated
+    # (minutes long), so three adjacent runs can all land in one — a spread
+    # median survives any single noisy phase (round-5 lesson: an in-bench
+    # 7.5 s headline vs 2.5 s dedicated, same code, minutes apart)
+    headline_runs: list[float] = []
+
+    def headline_once():
+        t0 = time.time()
+        run_pipeline("pandas")
+        headline_runs.append(round(time.time() - t0, 3))
+
+    headline_once()
     # each comparison parser gets its own warm pass first: its first run pays
     # that parser's whole-stage-codegen compile, which is startup cost, not
     # steady-state throughput
@@ -105,6 +117,7 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    headline_once()  # spread sample 2 (see above)
     timed("dedup_exact", lambda: noopw(dedup.exact_dedup(dedup.augmented_docs(docs))))
     timed("dedup_minhash_lsh", lambda: (noopw(dedup.minhash_lsh_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("dedup_simhash", lambda: (noopw(dedup.simhash_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
@@ -169,6 +182,11 @@ def main() -> None:
         med = timed("pipeline_noop_pandas_sf1", run_sf1)
         r1 = holder["r"]
         sf1_block = {"sf1_turns": r1.rows_in, "sf1_turns_per_sec": round(r1.rows_in / med, 1)}
+
+    headline_once()  # spread sample 3
+    headline_runs.sort()
+    raw_runs["pipeline_noop_pandas"] = headline_runs
+    timings["pipeline_noop_pandas"] = headline_runs[len(headline_runs) // 2]
 
     total = timings["pipeline_noop_pandas"]
     out = {
