@@ -452,6 +452,30 @@ def _q_text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
 
 
+def _q_conv_render(spark, sf_dir):
+    """Transcript->training-document rendering: one 'role: text' document
+    per conversation in turn order."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.render_conversations(_transcripts(spark, sf_dir))
+
+
+def _q_conv_stats(spark, sf_dir):
+    """Per-conversation report card (turns, roles, tools, chars, exact
+    microsecond duration)."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.conv_stats(_transcripts(spark, sf_dir))
+
+
+def _q_conv_boilerplate(spark, sf_dir):
+    """Cross-conversation boilerplate turn detection (the transcript twin
+    of frequent-line removal)."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.boilerplate_turns(_transcripts(spark, sf_dir))
+
+
 def _q_corpus_curate(spark, sf_dir):
     """One-call curation verdict: token bounds + quality + repetition +
     lang-ID folded into keep + fixed-order reason string."""
@@ -517,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_sliding": _q_text_chunk_sliding,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "corpus_curate": _q_corpus_curate,
+        "conv_render": _q_conv_render,
+        "conv_stats": _q_conv_stats,
+        "conv_boilerplate": _q_conv_boilerplate,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -588,6 +615,9 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_sliding": OX.text_chunk_sliding(),
         "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
         "corpus_curate": OX.corpus_curate(),
+        "conv_render": OX.conv_render(tp),
+        "conv_stats": OX.conv_stats(tp),
+        "conv_boilerplate": OX.conv_boilerplate(tp),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -153,6 +153,11 @@ def main() -> None:
     timed("text_bigram_logprob", lambda: noopw(textstats.bigram_logprob(docs, vocab_k=16)))
     timed("corpus_curate", lambda: noopw(textstats.corpus_curate(docs)))
 
+    from lumbermill_spark.extras import convcorpus
+    timed("conv_render", lambda: noopw(convcorpus.render_conversations(df)))
+    timed("conv_stats", lambda: noopw(convcorpus.conv_stats(df)))
+    timed("conv_boilerplate", lambda: noopw(convcorpus.boilerplate_turns(df)))
+
     from lumbermill_spark import frames as frames_mod
 
     raw_p = datagen.ensure_raw_bodies(sf)

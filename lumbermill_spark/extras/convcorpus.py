@@ -1,0 +1,82 @@
+"""Transcript→training-corpus operators: the bridge between the pipeline's
+input domain (multi-turn conversation transcripts, BASELINE.json input_hint
+shape) and the training-data extras. A corpus team ingesting agent
+transcripts runs exactly these three before anything else: render each
+conversation into one training document, profile conversations, and flag
+turns that are cross-conversation boilerplate.
+
+All native Catalyst expressions — zero Python, one hash shuffle each
+(conv_id or the 32-hex turn fingerprint), per-group state bounded by
+conversation length. Rows with NULL conv_id (drain lines that never carried
+a conversation) are excluded by contract, mirroring lm_turn_ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TURN_SEP = "\n"
+BOILER_MIN_CONVS = 50  # a turn text seen in >= this many convs is boilerplate
+
+
+def render_conversations(df: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_chars, rendered): each conversation as ONE
+    training document — 'role: text' lines joined by newline in turn_idx
+    order ((conv_id, turn_idx) is unique by the input contract). The
+    collect_list is bounded by conversation length, never corpus size."""
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(": ", F.col("role"), F.col("text")).alias("_line"),
+    )
+    lines = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "_line"))), lambda s: s["_line"]
+    )
+    return (
+        d.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.array_join(lines, TURN_SEP).alias("rendered"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.length("rendered").cast("bigint").alias("n_chars"),
+            "rendered",
+        )
+    )
+
+
+def conv_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation report card: turns, distinct roles/tools, total text
+    chars, and exact duration in microseconds (bigint end-to-end so no
+    float time arithmetic enters the cross-engine contract)."""
+    return (
+        df.filter(F.col("conv_id").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.countDistinct("role").cast("int").alias("n_roles"),
+            F.countDistinct("tool").cast("int").alias("n_tools"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("bigint").alias("duration_us"),
+        )
+    )
+
+
+def boilerplate_turns(df: DataFrame) -> DataFrame:
+    """(turn_fp, n_convs, n_turns, boilerplate): md5 fingerprint of the raw
+    turn text, how many distinct conversations and turns carry it, and the
+    >= BOILER_MIN_CONVS verdict — the transcript twin of the documents
+    table's frequent-line removal (template/system messages repeat across
+    conversations exactly like web boilerplate repeats across pages)."""
+    return (
+        df.filter(F.col("conv_id").isNotNull())
+        .select(F.md5(F.col("text")).alias("turn_fp"), "conv_id")
+        .groupBy("turn_fp")
+        .agg(
+            F.countDistinct("conv_id").cast("int").alias("n_convs"),
+            F.count("*").cast("bigint").alias("n_turns"),
+        )
+        .withColumn("boilerplate", F.col("n_convs") >= BOILER_MIN_CONVS)
+    )

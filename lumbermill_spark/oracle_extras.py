@@ -913,3 +913,49 @@ FROM t JOIN q ON q.doc_id = t.doc_id
 JOIN r ON r.doc_id = t.doc_id
 JOIN l ON l.doc_id = t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# transcript→corpus replays (read the same transcripts parquet the Spark
+# side reads, by absolute path — transcripts is not a driver view)
+# ---------------------------------------------------------------------------
+
+
+def conv_render(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.render_conversations: ordered string_agg
+    over (conv_id, turn_idx)-unique turns."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH r AS (
+  SELECT conv_id, count(*)::INT AS n_turns,
+    string_agg(role || ': ' || text, '{CC.TURN_SEP}' ORDER BY turn_idx) AS rendered
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL GROUP BY conv_id)
+SELECT conv_id, n_turns, length(rendered)::BIGINT AS n_chars, rendered FROM r
+"""
+
+
+def conv_stats(transcripts_path: str) -> str:
+    return f"""
+SELECT conv_id, count(*)::INT AS n_turns,
+  count(DISTINCT role)::INT AS n_roles,
+  count(DISTINCT tool)::INT AS n_tools,
+  sum(length(text))::BIGINT AS total_chars,
+  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+FROM read_parquet('{transcripts_path}')
+WHERE conv_id IS NOT NULL GROUP BY conv_id
+"""
+
+
+def conv_boilerplate(transcripts_path: str) -> str:
+    from .extras import convcorpus as CC
+
+    return f"""
+SELECT md5(text) AS turn_fp,
+  count(DISTINCT conv_id)::INT AS n_convs,
+  count(*)::BIGINT AS n_turns,
+  count(DISTINCT conv_id) >= {CC.BOILER_MIN_CONVS} AS boilerplate
+FROM read_parquet('{transcripts_path}')
+WHERE conv_id IS NOT NULL GROUP BY md5(text)
+"""

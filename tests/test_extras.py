@@ -706,3 +706,54 @@ def test_corpus_curate_golden(spark):
         parts = r["reasons"].split(",") if r["reasons"] else []
         order = ["too_short", "too_long", "low_quality", "repetitive", "unknown_lang"]
         assert parts == [p for p in order if p in parts]
+
+
+def _conv_frame(spark):
+    rows = [
+        ("c1", 2, "assistant", "world", None, "2024-01-01 00:00:05"),
+        ("c1", 1, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("c2", 1, "user", "hello", "bash", "2024-01-01 01:00:00"),
+        (None, 1, "user", "orphan", None, "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_render_conversations_golden(spark):
+    """Out-of-order input renders in turn_idx order; NULL conv_id excluded."""
+    from lumbermill_spark.extras import convcorpus
+
+    out = {r["conv_id"]: r for r in convcorpus.render_conversations(_conv_frame(spark)).collect()}
+    assert set(out) == {"c1", "c2"}
+    assert out["c1"]["rendered"] == "user: hello\nassistant: world"
+    assert out["c1"]["n_turns"] == 2
+    assert out["c1"]["n_chars"] == len("user: hello\nassistant: world")
+    assert out["c2"]["rendered"] == "user: hello"
+
+
+def test_conv_stats_golden(spark):
+    from lumbermill_spark.extras import convcorpus
+
+    out = {r["conv_id"]: r for r in convcorpus.conv_stats(_conv_frame(spark)).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_roles"], c1["n_tools"]) == (2, 2, 0)
+    assert c1["total_chars"] == len("hello") + len("world")
+    assert c1["duration_us"] == 5_000_000
+    assert out["c2"]["duration_us"] == 0 and out["c2"]["n_tools"] == 1
+
+
+def test_boilerplate_turns_golden(spark, monkeypatch):
+    """'hello' spans 2 convs; with the threshold forced to 2 it flags."""
+    from lumbermill_spark.extras import convcorpus
+
+    monkeypatch.setattr(convcorpus, "BOILER_MIN_CONVS", 2)
+    out = {r["turn_fp"]: r for r in convcorpus.boilerplate_turns(_conv_frame(spark)).collect()}
+    import hashlib
+
+    hello = hashlib.md5(b"hello").hexdigest()
+    world = hashlib.md5(b"world").hexdigest()
+    assert out[hello]["n_convs"] == 2 and out[hello]["n_turns"] == 2 and out[hello]["boilerplate"]
+    assert out[world]["n_convs"] == 1 and not out[world]["boilerplate"]
+    assert hashlib.md5(b"orphan").hexdigest() not in out

@@ -249,3 +249,19 @@ def test_chunk_sliding_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_conv_corpus_single_shuffle_no_python(spark):
+    """Each transcript-corpus op is one hash aggregate on its group key —
+    no Python, no join, no second Exchange."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    for op in (convcorpus.render_conversations, convcorpus.conv_stats, convcorpus.boilerplate_turns):
+        plan = _plan(op(df))
+        assert "Python" not in plan, op.__name__
+        assert "Join" not in plan, op.__name__
+        assert plan.count("Exchange") <= 2, op.__name__  # distinct-agg adds one
