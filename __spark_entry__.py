@@ -476,6 +476,15 @@ def _q_conv_boilerplate(spark, sf_dir):
     return convcorpus.boilerplate_turns(_transcripts(spark, sf_dir))
 
 
+def _q_conv_curate(spark, sf_dir):
+    """End-to-end transcript curation: render conversations then apply the
+    corpus keep/drop verdict over the rendered documents - one lazy plan,
+    one exchange."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.curate_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_corpus_curate(spark, sf_dir):
     """One-call curation verdict: token bounds + quality + repetition +
     lang-ID folded into keep + fixed-order reason string."""
@@ -544,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_render": _q_conv_render,
         "conv_stats": _q_conv_stats,
         "conv_boilerplate": _q_conv_boilerplate,
+        "conv_curate": _q_conv_curate,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -618,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_render": OX.conv_render(tp),
         "conv_stats": OX.conv_stats(tp),
         "conv_boilerplate": OX.conv_boilerplate(tp),
+        "conv_curate": OX.conv_curate(tp),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

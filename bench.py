@@ -157,6 +157,7 @@ def main() -> None:
     timed("conv_render", lambda: noopw(convcorpus.render_conversations(df)))
     timed("conv_stats", lambda: noopw(convcorpus.conv_stats(df)))
     timed("conv_boilerplate", lambda: noopw(convcorpus.boilerplate_turns(df)))
+    timed("conv_curate", lambda: noopw(convcorpus.curate_conversations(df)))
 
     from lumbermill_spark import frames as frames_mod
 

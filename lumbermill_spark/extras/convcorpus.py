@@ -80,3 +80,19 @@ def boilerplate_turns(df: DataFrame) -> DataFrame:
         )
         .withColumn("boilerplate", F.col("n_convs") >= BOILER_MIN_CONVS)
     )
+
+
+def curate_conversations(df: DataFrame) -> DataFrame:
+    """End-to-end transcript curation as ONE lazy plan: render each
+    conversation into a training document, then run the standard corpus
+    verdict (token bounds / quality / repetition / language-ID) over the
+    rendered text — render's conv_id shuffle feeds curate's pure
+    projections directly, so the whole composition still costs exactly one
+    exchange. Output is corpus_curate's contract keyed by the conversation
+    id (doc_id: string here)."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.corpus_curate(rendered)

@@ -959,3 +959,16 @@ SELECT md5(text) AS turn_fp,
 FROM read_parquet('{transcripts_path}')
 WHERE conv_id IS NOT NULL GROUP BY md5(text)
 """
+
+
+def conv_curate(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.curate_conversations by SHADOWING the
+    `documents` view with a rendered-conversations CTE (DuckDB resolves the
+    inner replay's FROM documents to the outer CTE), so the entire
+    already-verified corpus_curate replay is reused verbatim."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({corpus_curate()})
+"""

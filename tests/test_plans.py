@@ -265,3 +265,17 @@ def test_conv_corpus_single_shuffle_no_python(spark):
         assert "Python" not in plan, op.__name__
         assert "Join" not in plan, op.__name__
         assert plan.count("Exchange") <= 2, op.__name__  # distinct-agg adds one
+
+
+def test_conv_curate_single_exchange(spark):
+    """Render + verdict composes into ONE exchange: curate's signals are
+    pure projections over render's grouped output."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(convcorpus.curate_conversations(df))
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "Join" not in plan
