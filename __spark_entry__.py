@@ -485,6 +485,22 @@ def _q_conv_curate(spark, sf_dir):
     return convcorpus.curate_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_conv_pack(spark, sf_dir):
+    """Shuffled token-budget shard packing over rendered conversations -
+    pretraining prep for the transcript corpus."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.pack_conversations(_transcripts(spark, sf_dir))
+
+
+def _q_text_vocab_topk(spark, sf_dir):
+    """Tokenizer vocabulary induction: top-K token table with corpus
+    coverage (rank, count, frac, cum_frac)."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.vocab_topk(_docs(spark, sf_dir))
+
+
 def _q_corpus_curate(spark, sf_dir):
     """One-call curation verdict: token bounds + quality + repetition +
     lang-ID folded into keep + fixed-order reason string."""
@@ -554,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _q_conv_stats,
         "conv_boilerplate": _q_conv_boilerplate,
         "conv_curate": _q_conv_curate,
+        "conv_pack": _q_conv_pack,
+        "text_vocab_topk": _q_text_vocab_topk,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -585,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
 
     from lumbermill_spark import oracle_extras as OX
     from lumbermill_spark.extras import similarity as _SIM
+    from lumbermill_spark.extras import textstats as _TSX
 
     paths = datagen.ensure_for_sf_dir(SF_ORACLE_DIR)
     tp, fp = paths["transcripts"], paths["frames"]
@@ -629,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": OX.conv_stats(tp),
         "conv_boilerplate": OX.conv_boilerplate(tp),
         "conv_curate": OX.conv_curate(tp),
+        "conv_pack": OX.conv_pack(tp),
+        "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

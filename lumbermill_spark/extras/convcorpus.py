@@ -96,3 +96,18 @@ def curate_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
     )
     return textstats.corpus_curate(rendered)
+
+
+def pack_conversations(df: DataFrame) -> DataFrame:
+    """Pretraining prep for transcripts: render each conversation, then
+    pack the rendered documents into token-budget shards in deterministic
+    SHUFFLED order (textstats.pack_shards_shuffled over conv_id keys — its
+    hash bucketing is key-type-agnostic, so the string conv_id rides the
+    same two-level prefix sum). Output: pack_shards_shuffled's contract
+    with doc_id = conv_id."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.pack_shards_shuffled(rendered)

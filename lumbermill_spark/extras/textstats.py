@@ -1118,3 +1118,49 @@ def corpus_curate(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.alias("keep"),
         F.regexp_replace(reasons, ",$", "").alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary induction — top-K token table with corpus coverage:
+# the table a tokenizer-training run inspects first ("how many types cover
+# 99% of tokens?"). Counts are one map-side-combined aggregate; the top-K
+# selection is a distributed TakeOrdered (never a global sort of the full
+# vocabulary); only the K SURVIVORS pass through the cumulative window, so
+# the single-partition window is K-bounded by construction — the same
+# reasoning as unigram_logprob's vocab, now carrying rank + coverage.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK_K = 64  # gate-scale table size; production ~10^5
+
+
+def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK_K, text_col: str = "text") -> DataFrame:
+    """(rank, token, count, frac, cum_frac): the K most frequent lowercased
+    whitespace tokens, each with its corpus share and the running coverage
+    of the vocabulary so far (6 dp, ties broken token-ascending)."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    counts = (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .persist()
+    )
+    total = counts.agg(F.sum("count").alias("_tot"))
+    top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(k).localCheckpoint(eager=True)
+    counts.unpersist()
+    w = Window.orderBy(F.col("count").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("count").desc(), F.col("token")))
+            .cast("int")
+            .alias("rank"),
+            "token",
+            F.col("count").cast("bigint").alias("count"),
+            F.round(F.col("count") / F.col("_tot"), 6).alias("frac"),
+            F.round(F.sum("count").over(w) / F.col("_tot"), 6).alias("cum_frac"),
+        )
+    )

@@ -972,3 +972,37 @@ WITH documents AS (
 )
 SELECT * FROM ({corpus_curate()})
 """
+
+
+def conv_pack(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.pack_conversations: the documents view is
+    shadowed by the rendered-conversations CTE and the verified
+    text_pack_shuffled replay is reused verbatim (string keys order
+    identically in both engines — plain byte order on ASCII)."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({text_pack_shuffled()})
+"""
+
+
+def text_vocab_topk(k: int) -> str:
+    """Replay of extras.textstats.vocab_topk: counts → top-K by (count
+    DESC, token) → K-bounded cumulative coverage window."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM counts),
+top AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {k})
+SELECT
+  CAST(row_number() OVER (ORDER BY c DESC, token) AS INT) AS rank,
+  token,
+  c::BIGINT AS count,
+  round(c / t, 6) AS frac,
+  round(sum(c) OVER (ORDER BY c DESC, token
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6) AS cum_frac
+FROM top CROSS JOIN tot
+"""

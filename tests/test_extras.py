@@ -757,3 +757,32 @@ def test_boilerplate_turns_golden(spark, monkeypatch):
     assert out[hello]["n_convs"] == 2 and out[hello]["n_turns"] == 2 and out[hello]["boilerplate"]
     assert out[world]["n_convs"] == 1 and not out[world]["boilerplate"]
     assert hashlib.md5(b"orphan").hexdigest() not in out
+
+
+def test_vocab_topk_golden(spark):
+    """Hand-checked coverage table with a tie (b and c both 2, token-asc
+    tie-break) and K smaller than the vocabulary."""
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c c"), (2, "")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in textstats.vocab_topk(df, k=3).orderBy("rank").collect()]
+    # counts: a=3, b=2, c=2 over 7 tokens
+    assert out == [
+        (1, "a", 3, round(3 / 7, 6), round(3 / 7, 6)),
+        (2, "b", 2, round(2 / 7, 6), round(5 / 7, 6)),
+        (3, "c", 2, round(2 / 7, 6), 1.0),
+    ]
+
+
+def test_pack_conversations_matches_shuffled_pack(spark):
+    """Packing rendered conversations must equal pack_shards_shuffled run
+    on the rendered frame directly (the composition adds nothing)."""
+    from lumbermill_spark.extras import convcorpus
+
+    tdf = _conv_frame(spark)
+    got = sorted(map(tuple, convcorpus.pack_conversations(tdf).collect()))
+    rendered = convcorpus.render_conversations(tdf).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    exp = sorted(map(tuple, textstats.pack_shards_shuffled(rendered).collect()))
+    assert got == exp and len(got) == 2
