@@ -904,7 +904,11 @@ def take_per_stratum(
     h = F.expr(
         f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
     )
-    d = df.select(key_col, *strata).withColumn("_h", h)
+    # NULL stratum values are excluded by contract: the cutoff frame joins
+    # on the strata key and SQL null-equality would silently drop those rows
+    # from `sel` while their group stayed in `counts` — the verify loop
+    # would then escalate forever chasing rows the join can never return.
+    d = df.select(key_col, *strata).na.drop(subset=list(strata)).withColumn("_h", h)
     counts = {tuple(r[s] for s in strata): r["n"] for r in d.groupBy(*strata).agg(F.count("*").alias("n")).collect()}
     spark = df.sparkSession
     w = Window.partitionBy(*strata).orderBy("_h", key_col)
@@ -1145,7 +1149,10 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK_K, text_col: str = "text") -> 
         .agg(F.count("*").alias("count"))
         .persist()
     )
-    total = counts.agg(F.sum("count").alias("_tot"))
+    # pin the 1-row total BEFORE releasing the counts cache — total is only
+    # consumed at the final action, which would otherwise re-tokenize the
+    # whole corpus after the unpersist below (unigram_logprob's hygiene)
+    total = counts.agg(F.sum("count").alias("_tot")).localCheckpoint(eager=True)
     top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(k).localCheckpoint(eager=True)
     counts.unpersist()
     w = Window.orderBy(F.col("count").desc(), F.col("token")).rowsBetween(

@@ -786,3 +786,13 @@ def test_pack_conversations_matches_shuffled_pack(spark):
     )
     exp = sorted(map(tuple, textstats.pack_shards_shuffled(rendered).collect()))
     assert got == exp and len(got) == 2
+
+
+def test_take_per_stratum_null_strata_excluded(spark):
+    """Rows with NULL stratum values are excluded by contract instead of
+    sending the verify loop into endless cutoff escalation (a null key can
+    never join the broadcast cutoff frame)."""
+    rows = [(0, "en", "s0"), (1, "en", "s0"), (2, None, "s0"), (3, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = textstats.take_per_stratum(df, k=5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
