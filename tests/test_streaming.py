@@ -296,3 +296,51 @@ def test_delivery_log_stream_matches_batch(spark, ordered_stream_input, tmp_path
         assert want.get(k) == v, f"delivery {k}: stream {v} != batch {want.get(k)}"
     # append mode emits only watermark-finalized windows — a prefix of batch
     assert len(got) <= len(want)
+
+
+def test_dedup_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest dedup (per-micro-batch min-doc_id rule + parquet
+    seen-log) must accept exactly the batch incremental_dedup keepers when
+    files arrive in doc_id order — and a checkpointed restart with no new
+    files accepts nothing more."""
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.extras import dedup, streamcorpus, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    aug = dedup.augmented_docs(docs).withColumn("source", F.lit("s"))
+    batch = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD != 0)
+    index = aug.filter(F.col("doc_id") % dedup.INC_INDEX_MOD == 0).select(
+        textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+    src = str(tmp_path / "ingest_src")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = sorted(batch.select(*cols).collect(), key=lambda r: r["doc_id"])
+    third = (len(rows) + 2) // 3
+    for i in range(3):  # 3 doc_id-contiguous files = arrival order
+        chunk = rows[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, streamcorpus.DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "ingest_out")
+    q = streamcorpus.start_dedup_ingest_stream(
+        spark, src, index, out, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(batch, index).filter("keep").collect()
+    }
+    assert got == want and got
+
+    # restart: no new files -> no new acceptances
+    n = spark.read.parquet(f"{out}/accepted").count()
+    q2 = streamcorpus.start_dedup_ingest_stream(
+        spark, src, index, out, available_now=True, max_files_per_trigger=1
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/accepted").count() == n
