@@ -374,6 +374,9 @@ def _q_dedup_incremental(spark, sf_dir):
 
 UNIGRAM_GATE_K = 16  # small vocab cap so the sf0.01 gate exercises OOV scoring
 BIGRAM_GATE_K = 16  # same idea: force real <unk> traffic through the bigram LM
+TRIGRAM_GATE_K = 30  # at sf0.01 this K makes <unk> AND all three backoff
+# levels fire in the heldout stream (measured: nu=6/tri=2843/bi=1977/uni=4)
+# — smaller K starves the unigram floor, larger K starves OOV
 
 
 def _q_text_line_dedup(spark, sf_dir):
@@ -450,6 +453,15 @@ def _q_text_bigram_logprob(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
+
+
+def _q_text_trigram_logprob(spark, sf_dir):
+    """Trigram LM scoring with stupid backoff (perplexity-filter ladder,
+    rung 3): counts from the hash-split TRAIN docs score the HELDOUT docs,
+    so unseen n-grams are real and every backoff level fires."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.trigram_logprob(_docs(spark, sf_dir), vocab_k=TRIGRAM_GATE_K)
 
 
 def _q_conv_render(spark, sf_dir):
@@ -565,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": _q_dedup_normalized,
         "text_chunk_sliding": _q_text_chunk_sliding,
         "text_bigram_logprob": _q_text_bigram_logprob,
+        "text_trigram_logprob": _q_text_trigram_logprob,
         "corpus_curate": _q_corpus_curate,
         "conv_render": _q_conv_render,
         "conv_stats": _q_conv_stats,
@@ -643,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": OX.dedup_normalized(),
         "text_chunk_sliding": OX.text_chunk_sliding(),
         "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
+        "text_trigram_logprob": OX.text_trigram_logprob(TRIGRAM_GATE_K),
         "corpus_curate": OX.corpus_curate(),
         "conv_render": OX.conv_render(tp),
         "conv_stats": OX.conv_stats(tp),

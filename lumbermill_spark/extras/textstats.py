@@ -1171,3 +1171,168 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK_K, text_col: str = "text") -> 
             F.round(F.sum("count").over(w) / F.col("_tot"), 6).alias("cum_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram LM with stupid backoff — rung 3 of the perplexity-filter ladder
+# (unigram -> bigram -> trigram; Brants et al. 2007, "Large Language Models
+# in Machine Translation"). Unlike the bigram rung, the model here does NOT
+# score its own training data: the corpus is hash-split into a TRAIN
+# partition (counts come from it alone) and a HELDOUT partition (the docs
+# that get scored), so unseen trigrams/bigrams are real and the backoff
+# chain is genuinely exercised — the exact shape of a production filter
+# scoring incoming crawl batches under a reference model.
+#
+# Score of token w given context (p2, p1), all <unk>-collapsed over the
+# TRAIN top-K vocabulary (<s> <s> sentence-start padding):
+#   c3(p2,p1,w) > 0 : c3 / ctx3(p2,p1)          ctx3 derived: sum_c c3
+#   c2(p1,w)    > 0 : a  * c2 / ctx2(p1)        ctx2 derived: sum_c c2
+#   otherwise       : a^2 * (c1(w)+1)/(N+V)     add-one floor, never zero
+# with a = TRI_ALPHA = 0.4 (the paper's constant). Scores are not
+# normalized probabilities — that is stupid backoff's entire trade: no
+# discount bookkeeping, every level a plain grouped count.
+#
+# Scale shape: three map-side-combined count aggregates over the train
+# stream (trigram keys dominate; at 10^12 tokens the c3 table is the big
+# one — it shuffles on (p2,p1,w), exactly the hash layout the scoring join
+# needs, and both context tables derive from c3/c2 for free). Scoring is
+# three LEFT equality joins from the heldout stream onto those tables plus
+# one broadcast of the K-bounded vocab/total. Nothing all-pairs, nothing
+# driver-side beyond the 1-row (N, V) scalar.
+# ---------------------------------------------------------------------------
+
+TRI_ALPHA = 0.4  # stupid-backoff discount per level
+TRI_SALT = "lmtri-v1"
+TRI_TRAIN_FRAC = 0.8  # hash share of docs the counts are trained on
+TRI_VOCAB_K = 10_000
+
+
+def _tri_hash(key_col: str, salt: str) -> Column:
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    vocab_k: int = TRI_VOCAB_K,
+    train_frac: float = TRI_TRAIN_FRAC,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each HELDOUT doc (hash >= train_frac cutoff) under the stupid-
+    backoff trigram model counted from the TRAIN docs. Per doc: n_tokens,
+    n_unk, and how many tokens resolved at each backoff level (n_tri / n_bi
+    / n_uni), plus the mean ln-score (per-token ln rounded to 12 dp before
+    the mean, 6 dp after — the ladder's libm-proofing convention; NULL for
+    empty docs)."""
+    cut = int(train_frac * (1 << 32))
+    is_train = _tri_hash("doc_id", TRI_SALT) < cut
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    BOS_L, UNK_L = BOS, UNK
+    tri_stream = F.expr(
+        "transform(_ts, (x, i) -> struct("
+        f"if(i < 2, '{BOS_L}', _ts[i-2]) AS p2, "
+        f"if(i < 1, '{BOS_L}', _ts[i-1]) AS p1, "
+        "x AS c))"
+    )
+
+    def _events(d: DataFrame) -> DataFrame:
+        return (
+            d.select("doc_id", toks.alias("_ts"))
+            .select("doc_id", F.explode_outer(tri_stream).alias("_tr"))
+            .select(
+                "doc_id",
+                F.col("_tr.p2").alias("p2_raw"),
+                F.col("_tr.p1").alias("p1_raw"),
+                F.col("_tr.c").alias("cur_raw"),
+            )
+        )
+
+    train_ev = _events(df.filter(is_train))
+    held_ev = _events(df.filter(~is_train))
+
+    vocab = (
+        train_ev.filter(F.col("cur_raw").isNotNull())
+        .groupBy("cur_raw")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("cur_raw"))
+        .limit(vocab_k)
+        .select(F.col("cur_raw").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    vm = vocab.count() + 1  # |vocab| + <unk>, the add-one denominator V
+
+    def _mapped(ev: DataFrame) -> DataFrame:
+        """<unk>-collapse all three positions against the TRAIN vocab."""
+        out = ev
+        for pos in ("p2", "p1", "cur"):
+            vb = F.broadcast(vocab.select(F.col("tok").alias(f"{pos}_raw"), F.lit(True).alias(f"_{pos}v")))
+            out = out.join(vb, f"{pos}_raw", "left")
+        keep = lambda pos: (
+            F.when(F.col(f"{pos}_raw").isNull(), None)
+            .when(F.col(f"{pos}_raw") == BOS_L, F.lit(BOS_L))
+            .when(F.col(f"_{pos}v"), F.col(f"{pos}_raw"))
+            .otherwise(F.lit(UNK_L))
+        )
+        return out.select(
+            "doc_id",
+            keep("p2").alias("p2"),
+            keep("p1").alias("p1"),
+            keep("cur").alias("cur"),
+        ).filter(F.col("cur").isNotNull())
+
+    # one pass builds the mapped train stream; pin it for the four actions
+    # (c3 / c2 / c1 counts + the N scalar), then release — the count tables
+    # are checkpointed so nothing re-reads the corpus after unpersist
+    tm = _mapped(train_ev).persist()
+    c3 = tm.groupBy("p2", "p1", "cur").agg(F.count("*").alias("c3")).localCheckpoint(eager=True)
+    ctx3 = c3.groupBy("p2", "p1").agg(F.sum("c3").alias("t3"))  # derived free
+    c2 = tm.groupBy("p1", "cur").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
+    ctx2 = c2.groupBy("p1").agg(F.sum("c2").alias("t2"))
+    c1 = tm.groupBy("cur").agg(F.count("*").alias("c1")).localCheckpoint(eager=True)
+    n_total = tm.count()  # driver-side scalar, one job on the cached tm
+    tm.unpersist()
+
+    a = F.lit(TRI_ALPHA)
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("t3"))
+        .when(F.col("c2").isNotNull(), a * F.col("c2") / F.col("t2"))
+        .otherwise(a * a * (F.coalesce(F.col("c1"), F.lit(0)) + 1) / F.lit(float(n_total + vm)))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit("tri"))
+        .when(F.col("c2").isNotNull(), F.lit("bi"))
+        .otherwise(F.lit("uni"))
+    )
+    scored = (
+        _mapped(held_ev)
+        .join(c3, ["p2", "p1", "cur"], "left")
+        .join(c2.join(ctx2, "p1"), ["p1", "cur"], "left")
+        .join(F.broadcast(c1), "cur", "left")
+        .join(ctx3, ["p2", "p1"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum(F.when(F.col("cur") == UNK_L, 1).otherwise(0)).alias("_nu"),
+            F.sum(F.when(level == "tri", 1).otherwise(0)).alias("_l3"),
+            F.sum(F.when(level == "bi", 1).otherwise(0)).alias("_l2"),
+            F.sum(F.when(level == "uni", 1).otherwise(0)).alias("_l1"),
+            F.avg(F.round(F.log(score), 12)).alias("_alp"),
+        )
+    )
+    return (
+        df.filter(~is_train)
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("_nu"), F.lit(0)).cast("int").alias("n_unk"),
+            F.coalesce(F.col("_l3"), F.lit(0)).cast("int").alias("n_tri"),
+            F.coalesce(F.col("_l2"), F.lit(0)).cast("int").alias("n_bi"),
+            F.coalesce(F.col("_l1"), F.lit(0)).cast("int").alias("n_uni"),
+            F.round(F.col("_alp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -1006,3 +1006,68 @@ SELECT
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6) AS cum_frac
 FROM top CROSS JOIN tot
 """
+
+
+def text_trigram_logprob(vocab_k: int) -> str:
+    """Replay of extras.textstats.trigram_logprob: TRAIN/HELDOUT hash split,
+    <s> <s> padding, <unk> collapse against the TRAIN top-K vocab, stupid
+    backoff c3/ctx3 -> a*c2/ctx2 -> a^2*(c1+1)/(N+V) with a cast to DOUBLE
+    (DuckDB would otherwise parse 0.4 as DECIMAL and skew the arithmetic),
+    12-dp per-token rounding before the mean."""
+    a = f"CAST({TS.TRI_ALPHA!r} AS DOUBLE)"
+    cut = int(TS.TRI_TRAIN_FRAC * (1 << 32))
+    coll = lambda c: (
+        f"CASE WHEN {c} = '{TS.BOS}' THEN '{TS.BOS}' "
+        f"WHEN {c} IN (SELECT tok FROM vocab) THEN {c} ELSE '{TS.UNK}' END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_split_hash(TS.TRI_SALT)} < {cut} AS is_train,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts
+  FROM documents),
+ev AS (
+  SELECT doc_id, is_train,
+    CASE WHEN i <= 2 THEN '{TS.BOS}' ELSE ts[i - 2] END AS p2,
+    CASE WHEN i <= 1 THEN '{TS.BOS}' ELSE ts[i - 1] END AS p1,
+    ts[i] AS cur
+  FROM tok, unnest(generate_series(1, len(ts))) u(i)),
+vocab AS (
+  SELECT cur AS tok FROM ev WHERE is_train GROUP BY cur
+  ORDER BY count(*) DESC, cur LIMIT {vocab_k}),
+vm AS (SELECT count(*) + 1 AS v FROM vocab),
+m AS (
+  SELECT doc_id, is_train, {coll('p2')} AS p2, {coll('p1')} AS p1,
+    {coll('cur')} AS cur
+  FROM ev),
+c3 AS (SELECT p2, p1, cur, count(*)::BIGINT AS c3 FROM m WHERE is_train GROUP BY 1, 2, 3),
+t3 AS (SELECT p2, p1, sum(c3)::BIGINT AS t3 FROM c3 GROUP BY 1, 2),
+c2 AS (SELECT p1, cur, count(*)::BIGINT AS c2 FROM m WHERE is_train GROUP BY 1, 2),
+t2 AS (SELECT p1, sum(c2)::BIGINT AS t2 FROM c2 GROUP BY 1),
+c1 AS (SELECT cur, count(*)::BIGINT AS c1 FROM m WHERE is_train GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n FROM m WHERE is_train),
+s AS (
+  SELECT h.doc_id, count(*) AS nt_,
+    sum(CASE WHEN h.cur = '{TS.UNK}' THEN 1 ELSE 0 END) AS nu,
+    sum(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS l3,
+    sum(CASE WHEN c3.c3 IS NULL AND c2.c2 IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+    sum(CASE WHEN c3.c3 IS NULL AND c2.c2 IS NULL THEN 1 ELSE 0 END) AS l1,
+    avg(round(ln(
+      CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / t3.t3
+           WHEN c2.c2 IS NOT NULL THEN {a} * c2.c2 / t2.t2
+           ELSE {a} * {a} * (coalesce(c1.c1, 0) + 1) / (nt.n + vm.v) END), 12)) AS alp
+  FROM m h
+  LEFT JOIN c3 ON h.p2 = c3.p2 AND h.p1 = c3.p1 AND h.cur = c3.cur
+  LEFT JOIN t3 ON h.p2 = t3.p2 AND h.p1 = t3.p1
+  LEFT JOIN c2 ON h.p1 = c2.p1 AND h.cur = c2.cur
+  LEFT JOIN t2 ON h.p1 = t2.p1
+  LEFT JOIN c1 ON h.cur = c1.cur
+  CROSS JOIN nt CROSS JOIN vm
+  WHERE NOT h.is_train
+  GROUP BY h.doc_id)
+SELECT d.doc_id,
+  coalesce(nt_, 0)::INT AS n_tokens, coalesce(nu, 0)::INT AS n_unk,
+  coalesce(l3, 0)::INT AS n_tri, coalesce(l2, 0)::INT AS n_bi,
+  coalesce(l1, 0)::INT AS n_uni, round(alp, 6) AS avg_logprob
+FROM (SELECT doc_id FROM tok WHERE NOT is_train) d LEFT JOIN s USING (doc_id)
+"""

@@ -796,3 +796,35 @@ def test_take_per_stratum_null_strata_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
     out = textstats.take_per_stratum(df, k=5)
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
+
+
+def test_trigram_logprob_golden(spark):
+    """Hand-computed stupid backoff, vocab_k=2. Split salt lmtri-v1 at 0.8
+    puts docs {0,2} in train, {1,6,15} heldout. Train (x,c -> <unk> later):
+    'a b c' + 'a b a' -> vocab={a,b}, V=3, N=6 train tokens.
+    c3: (s,s,a)=2 (s,a,b)=2 (a,b,u)=1 (a,b,a)=1; ctx3: (s,s)=2 (s,a)=2 (a,b)=2
+    c2: (s,a)=2 (a,b)=2 (b,u)=1 (b,a)=1;         ctx2: s=2 a=2 b=2
+    c1: a=3 b=2 u=1."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (2, "a b a"), (1, "a b a x"), (6, "c b a"), (15, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.trigram_logprob(df, vocab_k=2).collect()}
+    assert set(out) == {1, 6, 15}  # ONLY heldout docs are scored
+    a = 0.4
+    lp = lambda s: round(math.log(s), 12)
+    # doc1 'a b a x' -> a b a <unk>: tri 2/2, tri 2/2, tri 1/2, uni a*a*(1+1)/9
+    d1 = (lp(2 / 2) + lp(2 / 2) + lp(1 / 2) + lp(a * a * 2 / 9)) / 4
+    assert (out[1]["n_tokens"], out[1]["n_unk"]) == (4, 1)
+    assert (out[1]["n_tri"], out[1]["n_bi"], out[1]["n_uni"]) == (3, 0, 1)
+    assert out[1]["avg_logprob"] == round(d1, 6)
+    # doc6 'c b a' -> <unk> b a: uni a*a*(1+1)/9, uni a*a*(2+1)/9, bi a*1/2
+    d6 = (lp(a * a * 2 / 9) + lp(a * a * 3 / 9) + lp(a * 1 / 2)) / 3
+    assert (out[6]["n_tokens"], out[6]["n_unk"]) == (3, 1)
+    assert (out[6]["n_tri"], out[6]["n_bi"], out[6]["n_uni"]) == (0, 1, 2)
+    assert out[6]["avg_logprob"] == round(d6, 6)
+    # empty heldout doc: zero counts, NULL score
+    r15 = out[15]
+    assert (r15["n_tokens"], r15["n_unk"], r15["avg_logprob"]) == (0, 0, None)

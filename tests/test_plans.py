@@ -279,3 +279,17 @@ def test_conv_curate_single_exchange(spark):
     plan = _plan(convcorpus.curate_conversations(df))
     assert plan.count("Exchange") == 1
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_trigram_scoring_joins_are_hash_equality(spark):
+    """The stupid-backoff scoring joins must be equality hash joins on the
+    n-gram keys — never cartesian/nested-loop — and the K-bounded vocab and
+    unigram tables ride broadcast."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.trigram_logprob(docs, vocab_k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
