@@ -247,6 +247,14 @@ def _q_dedup_embed_cosine(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_embeds(spark, sf_dir))
 
 
+def _q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup cluster-pruning (Abbas et al. 2023): keep/drop plan from
+    within-cell cosine to earlier-ordered members."""
+    from lumbermill_spark.extras import dedup
+
+    return dedup.semdedup(_embeds(spark, sf_dir))
+
+
 def _q_sim_topk(spark, sf_dir):
     from lumbermill_spark.extras import similarity
 
@@ -550,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_semdedup": _q_dedup_semdedup,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_canonical": _q_corpus_canonical,
         "sim_topk_bruteforce": _q_sim_topk,
@@ -627,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": OX.dedup_minhash_lsh(),
         "dedup_simhash": OX.dedup_simhash(),
         "dedup_embed_cosine": OX.dedup_embed_cosine(),
+        "dedup_semdedup": OX.dedup_semdedup(),
         "dedup_clusters": OX.dedup_clusters(),
         "corpus_canonical": OX.corpus_canonical(),
         "sim_topk_bruteforce": OX.sim_topk_bruteforce(),

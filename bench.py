@@ -123,6 +123,7 @@ def main() -> None:
     timed("dedup_simhash", lambda: (noopw(dedup.simhash_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("dedup_ngram_jaccard", lambda: (noopw(dedup.ngram_jaccard_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("sim_topk_bruteforce", lambda: noopw(similarity.topk_bruteforce(embeds)))
+    timed("dedup_semdedup", lambda: noopw(dedup.semdedup(embeds)))
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
     timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
     timed("text_redact_pii", lambda: noopw(textstats.redact_pii(textstats.augment_pii(docs))))
@@ -151,6 +152,7 @@ def main() -> None:
     timed("dedup_normalized", lambda: noopw(dedup.normalized_dedup(dedup.augmented_variants(docs))))
     timed("text_chunk_sliding", lambda: noopw(textstats.chunk_sliding(docs)))
     timed("text_bigram_logprob", lambda: noopw(textstats.bigram_logprob(docs, vocab_k=16)))
+    timed("text_trigram_logprob", lambda: noopw(textstats.trigram_logprob(docs, vocab_k=30)))
     timed("corpus_curate", lambda: noopw(textstats.corpus_curate(docs)))
 
     from lumbermill_spark.extras import convcorpus

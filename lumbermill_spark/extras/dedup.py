@@ -768,3 +768,72 @@ def normalized_dedup(docs: DataFrame) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("group_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1d. SemDeDup — semantic deduplication by cluster pruning (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). Where embedding_cosine_pairs only REPORTS near-dup pairs,
+# this is the keep/drop PLAN the paper runs: partition the embedding space
+# with a coarse quantizer, and inside each cell drop every vector that is
+# within SEMDEDUP_THRESHOLD cosine of an earlier-ordered cell member. The
+# paper orders each cluster by similarity to its centroid and keeps the
+# LEAST prototypical extreme (low centroid-sim = the informative outliers);
+# the drop test is against ANY earlier member, kept or not — the released
+# implementation's pseudo-greedy rule, which is order-deterministic and
+# engine-replayable, unlike true greedy set construction.
+#
+# Scale shape: centroids broadcast, one shuffle on cell id, ONE window rank
+# per cell, and the pairwise cosine runs inside cells only — SemDeDup's
+# defined cost is Θ(Σ|cell|²), which is why quantizer balance (see
+# similarity.train_centroids) is the capacity knob; nothing here is
+# all-pairs across cells. The deterministic first-16 quantizer keeps the
+# whole path DuckDB-replayable; production swaps in the trained-centroid
+# parquet exactly as topk_ivf does.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.95  # paper sweeps eps in [0.93, 0.97] for web text
+
+
+def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """Per augmented vector: its cell, its within-cell order (centroid-sim
+    ASC, vec_id ASC — the paper's keep-the-outliers ordering), the max
+    cosine to any earlier cell member (NULL for the cell's first), and the
+    keep verdict. One row per input vector."""
+    from pyspark.sql import Window
+
+    from .similarity import IVF_CENTROIDS, cosine_expr
+
+    e = augmented_embeddings(embeddings)
+    centroids = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # nearest-1 cell + centroid similarity in one pass (cells broadcast)
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("csim")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .drop("crank")
+    )
+    wo = Window.partitionBy("cid").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
+    ordered = assigned.withColumn("idx", F.row_number().over(wo))
+    prior = (
+        ordered.alias("x")
+        .join(ordered.alias("y"), on="cid")
+        .filter(F.col("y.idx") < F.col("x.idx"))
+        .groupBy(F.col("x.vec_id").alias("vec_id"))
+        .agg(F.max(cosine_expr(F.col("x.v"), F.col("y.v"))).alias("_mps"))
+    )
+    return (
+        ordered.join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("idx").alias("cell_rank"),
+            F.round("_mps", 6).alias("max_prior_sim"),
+            (F.coalesce(F.col("_mps"), F.lit(-1.0)) < threshold).alias("keep"),
+        )
+    )

@@ -1071,3 +1071,44 @@ SELECT d.doc_id,
   coalesce(l1, 0)::INT AS n_uni, round(alp, 6) AS avg_logprob
 FROM (SELECT doc_id FROM tok WHERE NOT is_train) d LEFT JOIN s USING (doc_id)
 """
+
+
+def dedup_semdedup() -> str:
+    """Replay of extras.dedup.semdedup: augmented embeddings, nearest-1 cell
+    under the deterministic first-16 quantizer, within-cell order by
+    (centroid-sim ASC, vec_id ASC), drop when max cosine to any earlier cell
+    member >= threshold (the paper's pseudo-greedy rule)."""
+    cos_vc = _cos("e.v", "c.cv")
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+),
+e AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + {D.EMBED_EXACT_OFFSET}, label, v
+  FROM base WHERE vec_id % {D.EMBED_EXACT_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {D.EMBED_NEAR_OFFSET}, label,
+    list_concat([v[1] + {D.EMBED_PERTURB}], v[2:])
+  FROM base WHERE vec_id % {D.EMBED_NEAR_MOD} = 0
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SIM.IVF_CENTROIDS}),
+ca AS (  -- nearest-1 cell + centroid similarity
+  SELECT vec_id, v, cid, csim FROM (
+    SELECT e.vec_id, e.v, c.cid, {cos_vc} AS csim,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c) WHERE r = 1),
+o AS (
+  SELECT vec_id, v, cid,
+    row_number() OVER (PARTITION BY cid ORDER BY csim ASC, vec_id ASC) AS idx
+  FROM ca),
+pri AS (
+  SELECT x.vec_id, max({_cos('x.v', 'y.v')}) AS mps
+  FROM o x JOIN o y ON x.cid = y.cid AND y.idx < x.idx
+  GROUP BY x.vec_id)
+SELECT o.vec_id, o.cid, CAST(o.idx AS INT) AS cell_rank,
+  round(pri.mps, 6) AS max_prior_sim,
+  (coalesce(pri.mps, -1.0) < {D.SEMDEDUP_THRESHOLD}) AS keep
+FROM o LEFT JOIN pri USING (vec_id)
+"""

@@ -828,3 +828,22 @@ def test_trigram_logprob_golden(spark):
     # empty heldout doc: zero counts, NULL score
     r15 = out[15]
     assert (r15["n_tokens"], r15["n_unk"], r15["avg_logprob"]) == (0, 0, None)
+
+
+def test_semdedup_drops_exact_copies_keeps_cell_firsts(spark):
+    """Every injected exact copy ties its source on centroid-sim, loses the
+    vec_id tie-break, and must be dropped with max_prior_sim 1.0; every
+    cell's rank-1 vector has no earlier member (NULL prior) and is kept."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = dedup.semdedup(e).collect()
+    n_aug = dedup.augmented_embeddings(e).count()
+    assert len(out) == n_aug  # one verdict per augmented vector
+    copies = [r for r in out if r["vec_id"] >= dedup.EMBED_EXACT_OFFSET
+              and r["vec_id"] < dedup.EMBED_NEAR_OFFSET]
+    assert copies, "augmentation must inject exact copies"
+    for r in copies:
+        assert r["keep"] is False and r["max_prior_sim"] == 1.0, r
+    firsts = [r for r in out if r["cell_rank"] == 1]
+    assert firsts
+    for r in firsts:
+        assert r["keep"] is True and r["max_prior_sim"] is None, r

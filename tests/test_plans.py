@@ -293,3 +293,15 @@ def test_trigram_scoring_joins_are_hash_equality(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_semdedup_pairs_join_is_cell_equality(spark):
+    """SemDeDup's within-cell pair scan must be an equality join on the cell
+    id — the only nested-loop allowed is the 16-row broadcast centroid
+    assignment (same bound as topk_bruteforce's broadcast queries)."""
+    from lumbermill_spark.extras import dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(dedup.semdedup(e))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
