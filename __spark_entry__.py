@@ -463,6 +463,15 @@ def _q_text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
 
 
+def _q_text_blocklist(spark, sf_dir):
+    """URL/domain blocklist gate over deterministically augmented urls:
+    exact hosts and registrable-domain subtrees via suffix-expansion
+    broadcast join."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.blocklist_filter(textstats.augment_urls(_docs(spark, sf_dir)))
+
+
 def _q_text_trigram_logprob(spark, sf_dir):
     """Trigram LM scoring with stupid backoff (perplexity-filter ladder,
     rung 3): counts from the hash-split TRAIN docs score the HELDOUT docs,
@@ -587,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_sliding": _q_text_chunk_sliding,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "text_trigram_logprob": _q_text_trigram_logprob,
+        "text_blocklist": _q_text_blocklist,
         "corpus_curate": _q_corpus_curate,
         "conv_render": _q_conv_render,
         "conv_stats": _q_conv_stats,
@@ -667,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_sliding": OX.text_chunk_sliding(),
         "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
         "text_trigram_logprob": OX.text_trigram_logprob(TRIGRAM_GATE_K),
+        "text_blocklist": OX.text_blocklist(),
         "corpus_curate": OX.corpus_curate(),
         "conv_render": OX.conv_render(tp),
         "conv_stats": OX.conv_stats(tp),

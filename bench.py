@@ -153,6 +153,7 @@ def main() -> None:
     timed("text_chunk_sliding", lambda: noopw(textstats.chunk_sliding(docs)))
     timed("text_bigram_logprob", lambda: noopw(textstats.bigram_logprob(docs, vocab_k=16)))
     timed("text_trigram_logprob", lambda: noopw(textstats.trigram_logprob(docs, vocab_k=30)))
+    timed("text_blocklist", lambda: noopw(textstats.blocklist_filter(textstats.augment_urls(docs))))
     timed("corpus_curate", lambda: noopw(textstats.corpus_curate(docs)))
 
     from lumbermill_spark.extras import convcorpus

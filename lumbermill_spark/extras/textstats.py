@@ -1336,3 +1336,99 @@ def trigram_logprob(
             F.round(F.col("_alp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist filtering — the crawl-pipeline gate that drops
+# documents fetched from known-bad origins (the UT1/Blacklists-style domain
+# lists every web-corpus pipeline applies before any content filter; e.g.
+# RefinedWeb §3.1 "URL filtering"). An entry blocks either one exact host or
+# a whole registrable-domain subtree (`*.tracker.example`). Matching is done
+# the scale-correct way: each host expands to its ≤MAX_HOST_DEPTH label
+# suffixes (`a.b.c.d` → `a.b.c.d`, `b.c.d`, `c.d`, `d`), and the suffixes
+# equality-join against the broadcast blocklist — a hash lookup per suffix,
+# never a LIKE/regex scan over a million-entry list. The depth cap guards
+# against adversarial million-label hosts and is applied from the SHORT end
+# (registrable domains are the last labels — the suffixes that matter);
+# suffix entries match any generated suffix, exact entries only the full
+# host (entries deeper than MAX_HOST_DEPTH labels are out of contract). The
+# synthetic corpus has no url column, so the driver query runs over a
+# deterministically AUGMENTED table (augment_urls — same convention as
+# augment_pii), with block-rule precedence encoded in the CASE order.
+# Scale shape: one bounded explode (×≤MAX_HOST_DEPTH), one broadcast hash
+# join, one groupBy over the MATCHED rows only (tiny — blocked docs), and a
+# key join back to the corpus; the clean-path rows never shuffle wide.
+# ---------------------------------------------------------------------------
+
+BLOCK_EXACT = ["spam.example.com", "malware.example.net"]
+BLOCK_SUFFIX = ["tracker.example", "adsite.example"]  # match host == or *.s
+MAX_HOST_DEPTH = 5  # suffix candidates per host; hosts are shallower in practice
+URL_SPAM_MOD = 11  # doc_id % 11 == 0 -> exact-blocked host
+URL_TRACKER_MOD = 13  # doc_id % 13 == 0 -> suffix-blocked subdomain
+URL_MALWARE_MOD = 17
+HOST_RX = "^[a-z]+://([^/]+)"
+
+
+def augment_urls(df: DataFrame) -> DataFrame:
+    """Deterministic url column for verification: most docs get a clean
+    per-doc_id host, every 11th an exact-blocklisted host, every 13th a
+    subdomain of a suffix-blocklisted domain, every 17th a second exact
+    entry (CASE precedence: 11 beats 13 beats 17)."""
+    d = F.col("doc_id")
+    url = (
+        F.when(d % URL_SPAM_MOD == 0, F.concat(F.lit("https://spam.example.com/p/"), d))
+        .when(
+            d % URL_TRACKER_MOD == 0,
+            F.concat(F.lit("https://cdn"), d % 4, F.lit(".tracker.example/x/"), d),
+        )
+        .when(d % URL_MALWARE_MOD == 0, F.concat(F.lit("http://malware.example.net/dl/"), d))
+        .otherwise(F.concat(F.lit("https://site"), d % 50, F.lit(".example.org/p/"), d))
+    )
+    return df.withColumn("url", url)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    exact: list[str] | None = None,
+    suffix: list[str] | None = None,
+) -> DataFrame:
+    """Per doc: url, extracted host, blocked verdict, and the matched
+    blocklist entry (min entry string when several match; NULL when clean).
+    One row per input doc."""
+    exact = BLOCK_EXACT if exact is None else exact
+    suffix = BLOCK_SUFFIX if suffix is None else suffix
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(e, "exact") for e in sorted(exact)] + [(s, "suffix") for s in sorted(suffix)],
+        "entry string, kind string",
+    )
+    host = F.lower(F.regexp_extract(F.col("url"), HOST_RX, 1))
+    base = df.select("doc_id", "url", host.alias("host"))
+    cands = base.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.expr(
+                "transform("
+                f"sequence(greatest(1, size(split(host, '[.]')) - {MAX_HOST_DEPTH} + 1), "
+                "size(split(host, '[.]'))), "
+                "i -> array_join(slice(split(host, '[.]'), i, size(split(host, '[.]'))), '.'))"
+            )
+        ).alias("cand"),
+    )
+    hits = (
+        cands.join(
+            F.broadcast(bl),
+            (F.col("cand") == F.col("entry"))
+            & ((F.col("kind") == "suffix") | (F.col("cand") == F.col("host"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("entry").alias("reason"))
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "url",
+        "host",
+        F.col("reason").isNotNull().alias("blocked"),
+        "reason",
+    )

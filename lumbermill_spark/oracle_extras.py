@@ -1112,3 +1112,45 @@ SELECT o.vec_id, o.cid, CAST(o.idx AS INT) AS cell_rank,
   (coalesce(pri.mps, -1.0) < {D.SEMDEDUP_THRESHOLD}) AS keep
 FROM o LEFT JOIN pri USING (vec_id)
 """
+
+
+def text_blocklist() -> str:
+    """Replay of extras.textstats.augment_urls + blocklist_filter: same CASE
+    url precedence, host extraction, ≤MAX_HOST_DEPTH label-suffix expansion,
+    and exact-vs-suffix entry semantics (depth cap from the short end;
+    exact = full-host equality)."""
+    bl_rows = ",".join(
+        [f"('{e}','exact')" for e in sorted(TS.BLOCK_EXACT)]
+        + [f"('{s}','suffix')" for s in sorted(TS.BLOCK_SUFFIX)]
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {TS.URL_SPAM_MOD} = 0
+           THEN 'https://spam.example.com/p/' || doc_id
+         WHEN doc_id % {TS.URL_TRACKER_MOD} = 0
+           THEN 'https://cdn' || (doc_id % 4) || '.tracker.example/x/' || doc_id
+         WHEN doc_id % {TS.URL_MALWARE_MOD} = 0
+           THEN 'http://malware.example.net/dl/' || doc_id
+         ELSE 'https://site' || (doc_id % 50) || '.example.org/p/' || doc_id
+    END AS url
+  FROM documents),
+b AS (
+  SELECT doc_id, url, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+  FROM u),
+bl(entry, kind) AS (SELECT * FROM (VALUES {bl_rows})),
+cand AS (
+  SELECT doc_id, host,
+    array_to_string(string_split(host, '.')[i:], '.') AS cand
+  FROM b, unnest(generate_series(
+    greatest(1, len(string_split(host, '.')) - {TS.MAX_HOST_DEPTH} + 1),
+    len(string_split(host, '.')))) u(i)),
+hits AS (
+  SELECT doc_id, min(entry) AS reason
+  FROM cand JOIN bl ON cand.cand = bl.entry
+    AND (bl.kind = 'suffix' OR cand.cand = cand.host)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.url, b.host,
+  (reason IS NOT NULL) AS blocked, reason
+FROM b LEFT JOIN hits USING (doc_id)
+"""

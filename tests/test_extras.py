@@ -847,3 +847,26 @@ def test_semdedup_drops_exact_copies_keeps_cell_firsts(spark):
     assert firsts
     for r in firsts:
         assert r["keep"] is True and r["max_prior_sim"] is None, r
+
+
+def test_blocklist_filter_semantics(spark):
+    """Exact entries match only the full host (never subdomains); suffix
+    entries match the bare domain and any-depth subdomains, including hosts
+    deeper than MAX_HOST_DEPTH (the cap trims from the LONG end, so the
+    registrable-domain suffixes always survive)."""
+    rows = [
+        (0, "https://spam.example.com/p/0"),            # exact hit
+        (1, "https://x.spam.example.com/p/1"),          # subdomain of exact -> clean
+        (2, "https://cdn1.tracker.example/x/2"),        # suffix hit
+        (3, "https://tracker.example/x/3"),             # bare suffix domain hit
+        (4, "https://a.b.c.d.e.f.tracker.example/x/4"), # deeper than the cap, still hit
+        (5, "https://site5.example.org/p/5"),           # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in textstats.blocklist_filter(df).collect()}
+    assert [out[i]["blocked"] for i in range(6)] == [True, False, True, True, True, False]
+    assert out[0]["reason"] == "spam.example.com"
+    assert out[2]["reason"] == "tracker.example"
+    assert out[4]["reason"] == "tracker.example"
+    assert out[1]["reason"] is None and out[5]["reason"] is None
+    assert out[4]["host"] == "a.b.c.d.e.f.tracker.example"

@@ -305,3 +305,15 @@ def test_semdedup_pairs_join_is_cell_equality(spark):
     plan = _plan(dedup.semdedup(e))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_blocklist_join_is_broadcast(spark):
+    """The suffix-candidate lookup must be a broadcast hash join on the
+    entry string — never a LIKE scan or nested loop over the blocklist."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.blocklist_filter(textstats.augment_urls(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
