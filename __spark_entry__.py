@@ -364,6 +364,14 @@ def _q_corpus_mixture(spark, sf_dir):
     return textstats.mixture_sample(_docs(spark, sf_dir))
 
 
+def _q_corpus_temperature(spark, sf_dir):
+    """Exponent-α temperature rebalance (q_s ∝ n_s^α): keep fractions
+    derived from observed stratum counts, md5 cutoff membership."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.temperature_sample(_docs(spark, sf_dir))
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Cross-run exact dedup: the augmented docs split into a prior-corpus
     fingerprint index (doc_id % INC_INDEX_MOD == 0) and a new batch; every
@@ -584,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_text_redact_pii,
         "corpus_mixture": _q_corpus_mixture,
+        "corpus_temperature": _q_corpus_temperature,
         "dedup_incremental": _q_dedup_incremental,
         "text_line_dedup": _q_text_line_dedup,
         "text_unigram_logprob": _q_text_unigram_logprob,
@@ -665,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": OX.text_repetition(),
         "text_redact_pii": OX.text_redact_pii(),
         "corpus_mixture": OX.corpus_mixture(),
+        "corpus_temperature": OX.corpus_temperature(),
         "dedup_incremental": OX.dedup_incremental(),
         "text_line_dedup": OX.text_line_dedup(),
         "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),

@@ -128,6 +128,7 @@ def main() -> None:
     timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
     timed("text_redact_pii", lambda: noopw(textstats.redact_pii(textstats.augment_pii(docs))))
     timed("corpus_mixture", lambda: noopw(textstats.mixture_sample(docs)))
+    timed("corpus_temperature", lambda: noopw(textstats.temperature_sample(docs)))
     timed("text_line_dedup", lambda: noopw(textstats.remove_frequent_lines(textstats.augment_lines(docs))))
     timed("text_unigram_logprob", lambda: noopw(textstats.unigram_logprob(docs, vocab_k=16)))
 

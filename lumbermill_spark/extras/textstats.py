@@ -1432,3 +1432,49 @@ def blocklist_filter(
         F.col("reason").isNotNull().alias("blocked"),
         "reason",
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture sampling — the multilingual-corpus rebalance
+# where target shares are DERIVED from observed counts instead of given:
+# q_s ∝ n_s^α with temperature α ∈ (0, 1] (α=1 keeps natural proportions,
+# α→0 approaches uniform — the exponent-smoothed sampling of mBERT/XLM-R
+# and mT5 §3.1). The largest corpus achievable without upsampling is then
+# T = min_s(n_s / q_s), and the per-stratum keep fraction COLLAPSES to
+#   frac_s = (n_min / n_s)^(1-α)
+# — the normalizer Σ n_s^α cancels, so no cross-stratum float sum exists to
+# diverge between engines; the one pow() is rounded to 12 dp before the
+# hash cutoff (the repo's libm-proofing convention). The smallest stratum
+# keeps everything, bigger strata are damped by their size ratio.
+# Scale shape: identical to mixture_sample — one tiny per-stratum count
+# agg, a 1-row min broadcast back, and one filter pass over the corpus with
+# the #strata fraction table broadcast-joined on.
+# ---------------------------------------------------------------------------
+
+TEMP_SALT = "lmtemp-v1"
+TEMP_ALPHA = 0.7  # mT5 uses 0.3 at 100+ languages; 0.7 suits few-strata
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = TEMP_ALPHA,
+    stratum_col: str = "lang",
+    salt: str = TEMP_SALT,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rows kept by exponent-α smoothing of the stratum_col distribution.
+    Returns (key_col, stratum_col) like mixture_sample."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    fracs = counts.crossJoin(F.broadcast(n_min)).select(
+        stratum_col,
+        F.round(F.pow(F.col("n_min") / F.col("n_s"), F.lit(1.0 - alpha)), 12).alias("frac"),
+    )
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
+    )
+    return (
+        df.join(F.broadcast(fracs), stratum_col)
+        .filter(h.cast("double") < F.col("frac") * F.lit(4294967296.0))
+        .select(key_col, stratum_col)
+    )

@@ -1154,3 +1154,20 @@ SELECT b.doc_id, b.url, b.host,
   (reason IS NOT NULL) AS blocked, reason
 FROM b LEFT JOIN hits USING (doc_id)
 """
+
+
+def corpus_temperature() -> str:
+    """Replay of extras.textstats.temperature_sample: per-stratum counts,
+    frac_s = round((n_min/n_s)^(1-alpha), 12) (the normalizer cancels — see
+    the Spark docstring), md5 hash cutoff on doc_id."""
+    exp = repr(1.0 - TS.TEMP_ALPHA)
+    return f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_s FROM documents GROUP BY lang),
+mn AS (SELECT min(n_s) AS n_min FROM c),
+f AS (SELECT lang, round(pow(n_min / n_s, {exp}), 12) AS frac
+      FROM c CROSS JOIN mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f USING (lang)
+WHERE ('0x' || substr(md5('{TS.TEMP_SALT}' || ':' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      < frac * 4294967296.0
+"""

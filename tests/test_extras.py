@@ -870,3 +870,26 @@ def test_blocklist_filter_semantics(spark):
     assert out[4]["reason"] == "tracker.example"
     assert out[1]["reason"] is None and out[5]["reason"] is None
     assert out[4]["host"] == "a.b.c.d.e.f.tracker.example"
+
+
+def test_temperature_sample_golden(spark):
+    """frac_s = (n_min/n_s)^(1-alpha): with en*8 / de*4 / fr*2 and alpha=0.5
+    the fractions are 0.5 / sqrt(0.5) / 1.0 — the smallest stratum keeps
+    everything, and membership replays as the pure md5 cutoff."""
+    import hashlib
+
+    rows = [(i, "en") for i in range(8)] + [(i + 100, "de") for i in range(4)] + [
+        (i + 200, "fr") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {r["doc_id"] for r in textstats.temperature_sample(df, alpha=0.5).collect()}
+
+    def h(doc_id):
+        raw = f"{textstats.TEMP_SALT}:{doc_id}".encode()
+        return int(hashlib.md5(raw).hexdigest()[:8], 16)
+
+    fracs = {"en": round((2 / 8) ** 0.5, 12), "de": round((2 / 4) ** 0.5, 12), "fr": 1.0}
+    expected = {d for d, lang in rows if h(d) < fracs[lang] * 4294967296.0}
+    assert kept == expected
+    assert {d for d, lang in rows if lang == "fr"} <= kept  # binding stratum
+    assert len(kept) < len(rows)  # the damped strata actually shed docs
