@@ -364,6 +364,15 @@ def _q_corpus_mixture(spark, sf_dir):
     return textstats.mixture_sample(_docs(spark, sf_dir))
 
 
+def _q_dedup_substring(spark, sf_dir):
+    """Cross-document duplicated-span detection (ExactSubstr re-expressed
+    as distributed shingle-merge) over the line-augmented docs, where the
+    shared boilerplate lines are real ≥K-token cross-doc runs."""
+    from lumbermill_spark.extras import dedup, textstats
+
+    return dedup.duplicate_spans(textstats.augment_lines(_docs(spark, sf_dir)))
+
+
 def _q_corpus_temperature(spark, sf_dir):
     """Exponent-α temperature rebalance (q_s ∝ n_s^α): keep fractions
     derived from observed stratum counts, md5 cutoff membership."""
@@ -593,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_text_redact_pii,
         "corpus_mixture": _q_corpus_mixture,
         "corpus_temperature": _q_corpus_temperature,
+        "dedup_substring": _q_dedup_substring,
         "dedup_incremental": _q_dedup_incremental,
         "text_line_dedup": _q_text_line_dedup,
         "text_unigram_logprob": _q_text_unigram_logprob,
@@ -675,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": OX.text_redact_pii(),
         "corpus_mixture": OX.corpus_mixture(),
         "corpus_temperature": OX.corpus_temperature(),
+        "dedup_substring": OX.dedup_substring(),
         "dedup_incremental": OX.dedup_incremental(),
         "text_line_dedup": OX.text_line_dedup(),
         "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),

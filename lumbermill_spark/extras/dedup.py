@@ -837,3 +837,84 @@ def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> Da
             (F.coalesce(F.col("_mps"), F.lit(-1.0)) < threshold).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1e. cross-document duplicate-SPAN detection — the substring-level dedup of
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better"): find maximal runs of ≥SPAN_K tokens that recur across distinct
+# documents (boilerplate sentences, licence blocks, quoted passages), the
+# spans ExactSubstr removes. The suffix-array construction the paper uses is
+# a single-machine algorithm; the distributed re-expression is the standard
+# shingle-merge: every K-token window is fingerprinted, a window duplicated
+# across ≥SPAN_MIN_DOCS docs marks its K positions, and overlapping-or-
+# touching marked windows merge into maximal spans (interval union via a
+# running-max window — pure integer arithmetic, engine-exact). Detection
+# granularity is K tokens: a duplicated run shorter than K is invisible,
+# one of length L ≥ K is recovered exactly (every window inside it is
+# duplicated wherever the run recurs).
+#
+# Scale shape: the shingle stream is the corpus ×K-ish in rows but carries
+# only (doc_id, pos, 16-byte digest); it shuffles ONCE on the digest for the
+# distinct-doc count, the duplicated-digest set joins back on the same key
+# (exchange reuse, no new partitioning), and the interval union is a
+# doc_id-partitioned window — never global. Nothing is all-pairs; no
+# suffix array's O(corpus) driver memory.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5  # minimum duplicated run, in whitespace tokens
+SPAN_MIN_DOCS = 2  # "duplicated" = appears in at least this many distinct docs
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per maximal cross-document duplicated span: (doc_id,
+    span_start, span_end, span_tokens), token positions 1-based inclusive."""
+    from pyspark.sql import Window
+
+    base = (
+        docs.select("doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_ts"))
+        .filter(F.trim(F.col(text_col)) != "")
+        .filter(F.size("_ts") >= k)
+    )
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_ts) - {k - 1}), "
+                f"i -> md5(array_join(slice(_ts, i, {k}), ' ')))"
+            )
+        ).alias("p0", "dig"),
+    )
+    dup = (
+        sh.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dig")
+    )
+    hits = sh.join(dup, "dig").select(
+        "doc_id", (F.col("p0") + 1).alias("start"), (F.col("p0") + k).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

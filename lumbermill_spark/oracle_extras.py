@@ -1171,3 +1171,48 @@ FROM documents d JOIN f USING (lang)
 WHERE ('0x' || substr(md5('{TS.TEMP_SALT}' || ':' || d.doc_id::VARCHAR), 1, 8))::BIGINT
       < frac * 4294967296.0
 """
+
+
+def dedup_substring() -> str:
+    """Replay of extras.dedup.duplicate_spans over the line-augmented
+    documents: K-token shingle digests, cross-doc duplicated digests,
+    interval union of hit windows via the same running-max island rule
+    (pure integer arithmetic on both engines)."""
+    k = D.SPAN_K
+    aug = (
+        "concat_ws(chr(10), "
+        f"CASE WHEN doc_id % {TS.LINE_NAV_MOD} = 0 THEN '{TS.BOILER_NAV}' END, "
+        "text, "
+        f"CASE WHEN doc_id % {TS.LINE_NEWS_MOD} = 0 THEN '{TS.BOILER_NEWS}' END, "
+        f"CASE WHEN doc_id % {TS.LINE_COOKIE_MOD} = 0 THEN '{TS.BOILER_COOKIE}' END, "
+        "'ref ' || doc_id)"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ts
+  FROM a WHERE trim(t) <> ''),
+sh AS (
+  SELECT doc_id, i AS start, i + {k - 1} AS fin,
+    md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS dig
+  FROM tk, unnest(generate_series(1, len(ts) - {k - 1})) u(i)
+  WHERE len(ts) >= {k}),
+dup AS (
+  SELECT dig FROM sh GROUP BY dig
+  HAVING count(DISTINCT doc_id) >= {D.SPAN_MIN_DOCS}),
+hits AS (SELECT doc_id, start, fin FROM sh JOIN dup USING (dig)),
+pe AS (
+  SELECT doc_id, start, fin,
+    max(fin) OVER (PARTITION BY doc_id ORDER BY start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, start, fin,
+    sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM pe)
+SELECT doc_id,
+  min(start)::INT AS span_start, max(fin)::INT AS span_end,
+  (max(fin) - min(start) + 1)::INT AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""

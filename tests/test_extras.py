@@ -893,3 +893,28 @@ def test_temperature_sample_golden(spark):
     assert kept == expected
     assert {d for d, lang in rows if lang == "fr"} <= kept  # binding stratum
     assert len(kept) < len(rows)  # the damped strata actually shed docs
+
+
+def test_duplicate_spans_golden(spark):
+    """A 7-token run shared by two docs merges its three 5-token hit
+    windows into one maximal span per doc; a doc repeating two disjoint
+    shared runs gets two islands; runs shorter than K are invisible."""
+    rows = [
+        (1, "a b c d e f g x1 y1"),
+        (2, "z2 a b c d e f g w2"),
+        (3, "p q r s t u"),
+        (4, "m n o jj aa bb"),
+        (5, "m n o jj cc dd"),
+        (6, "a b c d e zz1 qq1 c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(df).collect()
+    )
+    assert got == [
+        (1, 1, 7, 7),   # windows [1,5],[2,6],[3,7] union
+        (2, 2, 8, 7),
+        (6, 1, 5, 5),   # "a b c d e" shared with doc 1
+        (6, 8, 12, 5),  # disjoint second island "c d e f g"
+    ]  # docs 3-5 emit nothing: unique text / shared run of only 4 < K tokens

@@ -317,3 +317,15 @@ def test_blocklist_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_windows_stay_doc_partitioned(spark):
+    """The interval-union windows must partition on doc_id (never global),
+    and candidate marking must be an equality join on the shingle digest."""
+    from lumbermill_spark.extras import dedup, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup.duplicate_spans(textstats.augment_lines(docs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
