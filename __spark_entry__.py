@@ -373,6 +373,14 @@ def _q_dedup_substring(spark, sf_dir):
     return dedup.duplicate_spans(textstats.augment_lines(_docs(spark, sf_dir)))
 
 
+def _q_dedup_substring_removal(spark, sf_dir):
+    """ExactSubstr removal: duplicated spans cut out of every doc, clean
+    text rebuilt natively (higher-order filter/exists, no Python)."""
+    from lumbermill_spark.extras import dedup, textstats
+
+    return dedup.remove_duplicate_spans(textstats.augment_lines(_docs(spark, sf_dir)))
+
+
 def _q_corpus_temperature(spark, sf_dir):
     """Exponent-α temperature rebalance (q_s ∝ n_s^α): keep fractions
     derived from observed stratum counts, md5 cutoff membership."""
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "corpus_temperature": _q_corpus_temperature,
         "dedup_substring": _q_dedup_substring,
+        "dedup_substring_removal": _q_dedup_substring_removal,
         "dedup_incremental": _q_dedup_incremental,
         "text_line_dedup": _q_text_line_dedup,
         "text_unigram_logprob": _q_text_unigram_logprob,
@@ -686,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": OX.corpus_mixture(),
         "corpus_temperature": OX.corpus_temperature(),
         "dedup_substring": OX.dedup_substring(),
+        "dedup_substring_removal": OX.dedup_substring_removal(),
         "dedup_incremental": OX.dedup_incremental(),
         "text_line_dedup": OX.text_line_dedup(),
         "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),

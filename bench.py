@@ -143,6 +143,7 @@ def main() -> None:
 
     timed("dedup_incremental", _inc)
     timed("dedup_substring", lambda: noopw(dedup.duplicate_spans(textstats.augment_lines(docs))))
+    timed("dedup_substring_removal", lambda: noopw(dedup.remove_duplicate_spans(textstats.augment_lines(docs))))
     timed("text_pack_shards", lambda: noopw(textstats.pack_shards(docs)))
     timed("text_decontaminate", lambda: noopw(textstats.decontaminate(docs)))
     timed("corpus_canonical", lambda: (noopw(dedup.canonical_selection(dedup.augmented_docs(docs))), spark.catalog.clearCache()))

@@ -918,3 +918,49 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr's removal step: cut every cross-document duplicated span
+    out of every document. One row per input doc: (doc_id, n_tokens,
+    n_dup_tokens, clean_text) — clean_text is the surviving tokens in
+    original order, single-space joined (whitespace is normalized by the
+    tokenization; both engines share that contract).
+
+    Scale shape: duplicate_spans' output is grouped once per doc (spans per
+    doc are few by construction — they're maximal), the span list rides a
+    doc_id equality join back onto the corpus, and the cut itself is a
+    native higher-order filter/exists over the token array — per-token cost
+    is O(spans_in_this_doc), no shuffle beyond the one join, no Python."""
+    spans = duplicate_spans(docs, k=k, min_docs=min_docs, text_col=text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_tokens").alias("_nd"),
+    )
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    return (
+        docs.select("doc_id", toks.alias("_ts"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_ts").alias("n_tokens"),
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("int").alias("n_dup_tokens"),
+            F.when(
+                F.col("_spans").isNull(), F.array_join(F.col("_ts"), " ")
+            )
+            .otherwise(
+                F.expr(
+                    "array_join(transform(filter(transform(_ts, (x, i) -> struct(x AS x, i + 1 AS p)), "
+                    "s -> NOT exists(_spans, sp -> s.p >= sp.span_start AND s.p <= sp.span_end)), "
+                    "s -> s.x), ' ')"
+                )
+            )
+            .alias("clean_text"),
+        )
+    )

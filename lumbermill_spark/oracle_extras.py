@@ -1216,3 +1216,65 @@ SELECT doc_id,
   (max(fin) - min(start) + 1)::INT AS span_tokens
 FROM isl GROUP BY doc_id, island
 """
+
+
+def dedup_substring_removal() -> str:
+    """Replay of extras.dedup.remove_duplicate_spans: the dedup_substring
+    span chain, spans folded per doc, tokens outside every span rejoined
+    single-spaced (list comprehension over 1-based positions)."""
+    k = D.SPAN_K
+    aug = (
+        "concat_ws(chr(10), "
+        f"CASE WHEN doc_id % {TS.LINE_NAV_MOD} = 0 THEN '{TS.BOILER_NAV}' END, "
+        "text, "
+        f"CASE WHEN doc_id % {TS.LINE_NEWS_MOD} = 0 THEN '{TS.BOILER_NEWS}' END, "
+        f"CASE WHEN doc_id % {TS.LINE_COOKIE_MOD} = 0 THEN '{TS.BOILER_COOKIE}' END, "
+        "'ref ' || doc_id)"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ts
+  FROM a WHERE trim(t) <> ''),
+sh AS (
+  SELECT doc_id, i AS start, i + {k - 1} AS fin,
+    md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS dig
+  FROM tk, unnest(generate_series(1, len(ts) - {k - 1})) u(i)
+  WHERE len(ts) >= {k}),
+dup AS (
+  SELECT dig FROM sh GROUP BY dig
+  HAVING count(DISTINCT doc_id) >= {D.SPAN_MIN_DOCS}),
+hits AS (SELECT doc_id, start, fin FROM sh JOIN dup USING (dig)),
+pe AS (
+  SELECT doc_id, start, fin,
+    max(fin) OVER (PARTITION BY doc_id ORDER BY start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, start, fin,
+    sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM pe),
+sp AS (
+  SELECT doc_id, min(start) AS s, max(fin) AS e
+  FROM isl GROUP BY doc_id, island),
+pd AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans,
+    sum(e - s + 1) AS nd
+  FROM sp GROUP BY doc_id),
+full_tk AS (
+  SELECT doc_id,
+    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(t), '\\s+') END AS ts
+  FROM a)
+SELECT f.doc_id,
+  len(f.ts)::INT AS n_tokens,
+  coalesce(pd.nd, 0)::INT AS n_dup_tokens,
+  CASE WHEN pd.spans IS NULL THEN array_to_string(f.ts, ' ')
+       ELSE array_to_string(
+         [f.ts[i] FOR i IN generate_series(1, len(f.ts))
+          IF len(list_filter(pd.spans, sp -> i >= sp.s AND i <= sp.e)) = 0],
+         ' ')
+  END AS clean_text
+FROM full_tk f LEFT JOIN pd USING (doc_id)
+"""

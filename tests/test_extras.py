@@ -918,3 +918,20 @@ def test_duplicate_spans_golden(spark):
         (6, 1, 5, 5),   # "a b c d e" shared with doc 1
         (6, 8, 12, 5),  # disjoint second island "c d e f g"
     ]  # docs 3-5 emit nothing: unique text / shared run of only 4 < K tokens
+
+
+def test_remove_duplicate_spans_golden(spark):
+    """Spans are cut, survivors keep original order, non-span docs pass
+    through single-space-normalized, empty docs stay empty."""
+    rows = [
+        (1, "a b c d e f g x1 y1"),
+        (2, "z2 a b c d e f g w2"),
+        (3, "p q r s t u"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_dup_tokens"], out[1]["clean_text"]) == (9, 7, "x1 y1")
+    assert (out[2]["n_tokens"], out[2]["n_dup_tokens"], out[2]["clean_text"]) == (9, 7, "z2 w2")
+    assert (out[3]["n_tokens"], out[3]["n_dup_tokens"], out[3]["clean_text"]) == (6, 0, "p q r s t u")
+    assert (out[7]["n_tokens"], out[7]["n_dup_tokens"], out[7]["clean_text"]) == (0, 0, "")
