@@ -381,6 +381,14 @@ def _q_dedup_substring_removal(spark, sf_dir):
     return dedup.remove_duplicate_spans(textstats.augment_lines(_docs(spark, sf_dir)))
 
 
+def _q_corpus_prepare(spark, sf_dir):
+    """One-call corpus preparation: curation signals + verdict, normalized
+    canonicality, split assignment — one scan, one shuffle."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.corpus_prepare(_docs(spark, sf_dir))
+
+
 def _q_corpus_temperature(spark, sf_dir):
     """Exponent-α temperature rebalance (q_s ∝ n_s^α): keep fractions
     derived from observed stratum counts, md5 cutoff membership."""
@@ -610,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_text_redact_pii,
         "corpus_mixture": _q_corpus_mixture,
         "corpus_temperature": _q_corpus_temperature,
+        "corpus_prepare": _q_corpus_prepare,
         "dedup_substring": _q_dedup_substring,
         "dedup_substring_removal": _q_dedup_substring_removal,
         "dedup_incremental": _q_dedup_incremental,
@@ -694,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": OX.text_redact_pii(),
         "corpus_mixture": OX.corpus_mixture(),
         "corpus_temperature": OX.corpus_temperature(),
+        "corpus_prepare": OX.corpus_prepare(),
         "dedup_substring": OX.dedup_substring(),
         "dedup_substring_removal": OX.dedup_substring_removal(),
         "dedup_incremental": OX.dedup_incremental(),

@@ -158,6 +158,7 @@ def main() -> None:
     timed("text_trigram_logprob", lambda: noopw(textstats.trigram_logprob(docs, vocab_k=30)))
     timed("text_blocklist", lambda: noopw(textstats.blocklist_filter(textstats.augment_urls(docs))))
     timed("corpus_curate", lambda: noopw(textstats.corpus_curate(docs)))
+    timed("corpus_prepare", lambda: noopw(textstats.corpus_prepare(docs)))
 
     from lumbermill_spark.extras import convcorpus
     timed("conv_render", lambda: noopw(convcorpus.render_conversations(df)))

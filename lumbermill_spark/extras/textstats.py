@@ -1097,19 +1097,32 @@ CURATE_MIN_TOKENS = 5
 CURATE_MAX_TOKENS = 100_000
 
 
-def corpus_curate(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_ws_tokens, quality_score, pred_lang, keep, reasons):
-    keep = passes ALL rules; reasons = comma-joined failed-rule names in
-    fixed order (too_short, too_long, low_quality, repetitive,
-    unknown_lang), '' when kept."""
-    d = with_repetition(with_langid(with_quality(with_token_counts(df), text_col), text_col), text_col)
-    checks = [
+def _curate_checks() -> list:
+    """The fixed-order curation rule list (name, failed-condition) over the
+    signal columns — shared by corpus_curate and corpus_prepare so the rule
+    set has exactly one definition."""
+    return [
         ("too_short", F.col("n_ws_tokens") < CURATE_MIN_TOKENS),
         ("too_long", F.col("n_ws_tokens") > CURATE_MAX_TOKENS),
         ("low_quality", F.col("quality_score") < CURATE_MIN_QUALITY),
         ("repetitive", ~F.col("rep_keep")),
         ("unknown_lang", F.col("pred_lang") == "und"),
     ]
+
+
+def _with_curate_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return with_repetition(
+        with_langid(with_quality(with_token_counts(df), text_col), text_col), text_col
+    )
+
+
+def corpus_curate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, quality_score, pred_lang, keep, reasons):
+    keep = passes ALL rules; reasons = comma-joined failed-rule names in
+    fixed order (too_short, too_long, low_quality, repetitive,
+    unknown_lang), '' when kept."""
+    d = _with_curate_signals(df, text_col)
+    checks = _curate_checks()
     reasons = F.concat(*[F.when(c, F.lit(n + ",")).otherwise(F.lit("")) for n, c in checks])
     keep = None
     for _, c in checks:
@@ -1477,4 +1490,66 @@ def temperature_sample(
         df.join(F.broadcast(fracs), stratum_col)
         .filter(h.cast("double") < F.col("frac") * F.lit(4294967296.0))
         .select(key_col, stratum_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_prepare — the one-call preparation batch a training-data job
+# actually runs over an incoming corpus: curation signals + verdict,
+# normalized-dedup canonicality, and the train/val/test assignment, fused
+# into ONE lazy plan. Everything except the dedup window is a projection,
+# so the whole thing costs exactly one corpus scan and one shuffle (the
+# normalized-fingerprint hash partitioning) — the same fusion discipline as
+# convcorpus.curate_conversations, applied to the document side. The final
+# `keep` is the production gate: canonical AND passing every curation rule
+# (split is assigned to every doc so dropped docs remain auditable).
+# ---------------------------------------------------------------------------
+
+
+def corpus_prepare(
+    df: DataFrame,
+    weights: tuple[float, float, float] = DEFAULT_SPLIT_WEIGHTS,
+    split_salt: str = SPLIT_SALT,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per input doc: (doc_id, n_ws_tokens, quality_score,
+    pred_lang, is_canonical, curate_keep, reasons, split, keep)."""
+    from pyspark.sql import Window
+
+    from .dedup import normalize_text
+
+    w_train, w_val, w_test = weights
+    if abs(w_train + w_val + w_test - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{split_salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    split = (
+        F.when(h < cut1, F.lit("train")).when(h < cut2, F.lit("val")).otherwise(F.lit("test"))
+    )
+
+    checks = _curate_checks()
+    reasons = F.concat(*[F.when(c, F.lit(n + ",")).otherwise(F.lit("")) for n, c in checks])
+    curate_keep = None
+    for _, c in checks:
+        curate_keep = ~c if curate_keep is None else curate_keep & ~c
+
+    w = Window.partitionBy("_nfp")
+    is_canonical = F.col("doc_id") == F.min("doc_id").over(w)
+    return (
+        _with_curate_signals(df, text_col)
+        .withColumn("_nfp", F.md5(normalize_text(F.col(text_col))))
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "quality_score",
+            "pred_lang",
+            is_canonical.alias("is_canonical"),
+            curate_keep.alias("curate_keep"),
+            F.regexp_replace(reasons, ",$", "").alias("reasons"),
+            split.alias("split"),
+            (is_canonical & curate_keep).alias("keep"),
+        )
     )

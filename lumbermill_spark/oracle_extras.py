@@ -881,10 +881,9 @@ FROM documents d LEFT JOIN scored USING (doc_id)
 """
 
 
-def corpus_curate() -> str:
-    """Replay of extras.textstats.corpus_curate by composing the three
-    existing signal replays as CTE subqueries (each already value-exact on
-    its own gate) + the shared threshold constants."""
+def _curate_fragments() -> tuple[str, str, str]:
+    """(n_ws expr, reasons expr, keep expr) for the curation rules — shared
+    by corpus_curate and corpus_prepare, mirroring TS._curate_checks."""
     n_ws = (
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -898,6 +897,14 @@ def corpus_curate() -> str:
     ]
     reasons = " || ".join(f"CASE WHEN {c} THEN '{n},' ELSE '' END" for n, c in checks)
     keep = " AND ".join(f"NOT ({c})" for _, c in checks)
+    return n_ws, reasons, keep
+
+
+def corpus_curate() -> str:
+    """Replay of extras.textstats.corpus_curate by composing the three
+    existing signal replays as CTE subqueries (each already value-exact on
+    its own gate) + the shared threshold constants."""
+    n_ws, reasons, keep = _curate_fragments()
     return f"""
 WITH q AS ({text_quality()}),
 r AS ({text_repetition()}),
@@ -1277,4 +1284,42 @@ SELECT f.doc_id,
          ' ')
   END AS clean_text
 FROM full_tk f LEFT JOIN pd USING (doc_id)
+"""
+
+
+def corpus_prepare() -> str:
+    """Replay of extras.textstats.corpus_prepare: the corpus_curate
+    composition + the normalized-fingerprint canonicality window + the
+    integer-cutoff split, all per doc."""
+    n_ws, reasons, keep = _curate_fragments()
+    w_train, w_val, _ = TS.DEFAULT_SPLIT_WEIGHTS
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    sh = _split_hash(TS.SPLIT_SALT).replace("doc_id", "t.doc_id")
+    return f"""
+WITH q AS ({text_quality()}),
+r AS ({text_repetition()}),
+l AS ({text_langid()}),
+t AS (SELECT doc_id, {n_ws} AS n_ws FROM documents),
+canon AS (
+  SELECT doc_id,
+    (doc_id = min(doc_id) OVER (PARTITION BY nfp)) AS is_canonical
+  FROM (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '{D.NORM_PAT}', ' ', 'g'))) AS nfp
+        FROM documents))
+SELECT t.doc_id,
+  CAST(t.n_ws AS INT) AS n_ws_tokens,
+  q.quality_score,
+  l.pred_lang,
+  canon.is_canonical,
+  ({keep}) AS curate_keep,
+  regexp_replace({reasons}, ',$', '') AS reasons,
+  CASE WHEN {sh} < {cut1} THEN 'train'
+       WHEN {sh} < {cut2} THEN 'val'
+       ELSE 'test' END AS split,
+  (canon.is_canonical AND ({keep})) AS keep
+FROM t JOIN q ON q.doc_id = t.doc_id
+JOIN r ON r.doc_id = t.doc_id
+JOIN l ON l.doc_id = t.doc_id
+JOIN canon ON canon.doc_id = t.doc_id
 """

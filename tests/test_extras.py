@@ -935,3 +935,23 @@ def test_remove_duplicate_spans_golden(spark):
     assert (out[2]["n_tokens"], out[2]["n_dup_tokens"], out[2]["clean_text"]) == (9, 7, "z2 w2")
     assert (out[3]["n_tokens"], out[3]["n_dup_tokens"], out[3]["clean_text"]) == (6, 0, "p q r s t u")
     assert (out[7]["n_tokens"], out[7]["n_dup_tokens"], out[7]["clean_text"]) == (0, 0, "")
+
+
+def test_corpus_prepare_equals_composition(spark):
+    """The fused plan's columns must equal the three standalone operators it
+    fuses (curate verdict, normalized canonicality, split assignment)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r for r in textstats.corpus_prepare(docs).collect()}
+    cur = {r["doc_id"]: r for r in textstats.corpus_curate(docs).collect()}
+    spl = {r["doc_id"]: r["split"] for r in textstats.corpus_split(docs).collect()}
+    canon = {
+        r["doc_id"]: r["is_canonical"]
+        for r in __import__(
+            "lumbermill_spark.extras.dedup", fromlist=["dedup"]
+        ).normalized_dedup(docs).collect()
+    }
+    assert set(got) == set(cur)
+    for d, r in got.items():
+        assert r["curate_keep"] == cur[d]["keep"] and r["reasons"] == cur[d]["reasons"]
+        assert r["split"] == spl[d] and r["is_canonical"] == canon[d]
+        assert r["keep"] == (r["is_canonical"] and r["curate_keep"])

@@ -329,3 +329,18 @@ def test_duplicate_spans_windows_stay_doc_partitioned(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_corpus_prepare_one_scan_one_shuffle(spark):
+    """The fused preparation plan must cost exactly one corpus scan and one
+    shuffle: every signal/split column is a projection, only the
+    normalized-fingerprint window exchanges — and no join, no Python."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.corpus_prepare(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert plan.count("FileScan") == plan.count("FileScan parquet") == 1
