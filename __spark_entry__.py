@@ -496,6 +496,14 @@ def _q_text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
 
 
+def _q_text_gopher(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1) over the structure-
+    augmented docs: seven native signals, verdict, fixed-order reasons."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.gopher_rules(textstats.augment_gopher(_docs(spark, sf_dir)))
+
+
 def _q_text_blocklist(spark, sf_dir):
     """URL/domain blocklist gate over deterministically augmented urls:
     exact hosts and registrable-domain subtrees via suffix-expansion
@@ -634,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _q_text_bigram_logprob,
         "text_trigram_logprob": _q_text_trigram_logprob,
         "text_blocklist": _q_text_blocklist,
+        "text_gopher": _q_text_gopher,
         "corpus_curate": _q_corpus_curate,
         "conv_render": _q_conv_render,
         "conv_stats": _q_conv_stats,
@@ -719,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": OX.text_bigram_logprob(BIGRAM_GATE_K),
         "text_trigram_logprob": OX.text_trigram_logprob(TRIGRAM_GATE_K),
         "text_blocklist": OX.text_blocklist(),
+        "text_gopher": OX.text_gopher(),
         "corpus_curate": OX.corpus_curate(),
         "conv_render": OX.conv_render(tp),
         "conv_stats": OX.conv_stats(tp),

@@ -1553,3 +1553,127 @@ def corpus_prepare(
             (is_canonical & curate_keep).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the named heuristic filter of Rae et al. 2021
+# (Gopher, Appendix A1.1), reused verbatim by MassiveText/RefinedWeb-class
+# pipelines: word-count bounds, mean word length window, symbol-to-word
+# ratio, bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+# and the ≥2-English-stopwords test. Every signal is a native projection
+# (array/regexp expressions, zero shuffle, zero Python) — the whole filter
+# is one map over the corpus. The synthetic docs are single-line and
+# well-behaved, so the driver query runs over a deterministically AUGMENTED
+# table (augment_gopher: bullet lines / trailing ellipsis / symbol runs on
+# a doc_id grid — same convention as augment_pii) so every rule fires both
+# ways on the gate corpus.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLET_MOD = 4  # doc_id % 4 == 0 -> two bullet lines prepended
+GOPHER_ELLIPSIS_MOD = 6
+GOPHER_SYMBOL_MOD = 9
+GOPHER_STOP_MOD = 2  # doc_id % 2 == 0 -> a natural stopword-bearing line
+GOPHER_STOP_LINE = "the point to be made of this and that would have stuck with us"
+
+
+def augment_gopher(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic structure augmentation so each Gopher rule has real
+    work: bullet lines, a trailing ellipsis line, a symbol run, and a
+    natural stopword-bearing line on doc_id grids (a doc can get several) —
+    the stopword grid is what lets part of the synthetic corpus PASS the
+    >=2-stopwords rule, so the gate exercises both verdicts."""
+    d, t = F.col("doc_id"), F.col(text_col)
+    bul = F.when(d % GOPHER_BULLET_MOD == 0, F.lit("- item one\n- item two\n")).otherwise(F.lit(""))
+    stp = F.when(d % GOPHER_STOP_MOD == 0, F.lit(GOPHER_STOP_LINE + "\n")).otherwise(F.lit(""))
+    ell = F.when(d % GOPHER_ELLIPSIS_MOD == 0, F.lit("\nread more...")).otherwise(F.lit(""))
+    sym = F.when(d % GOPHER_SYMBOL_MOD == 0, F.lit(" ### #### #####")).otherwise(F.lit(""))
+    return df.withColumn(text_col, F.concat(bul, stp, t, ell, sym))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per doc: the seven Gopher signals, the verdict, and the fixed-order
+    failed-rule reason string ('' when kept)."""
+    t = F.trim(F.col(text_col))
+    ws = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    d = df.select("doc_id", F.col(text_col).alias("_t"), ws.alias("_ws")).select(
+        "doc_id",
+        "_t",
+        "_ws",
+        F.size("_ws").alias("n_words"),
+        F.split(F.col("_t"), "\n").alias("_lines"),
+    )
+    nw = F.col("n_words")
+    mean_wl = F.when(
+        nw > 0,
+        F.expr("aggregate(_ws, 0, (a, w) -> a + length(w))") / nw,
+    )
+    sym_ratio = F.when(
+        nw > 0,
+        (F.regexp_count(F.col("_t"), F.lit("#")) + F.regexp_count(F.col("_t"), F.lit(r"\.\.\.")))
+        / nw,
+    )
+    n_lines = F.size("_lines")
+    bullet_frac = F.expr("size(filter(_lines, l -> l like '- %' or l like '• %'))") / n_lines
+    ellipsis_frac = F.expr("size(filter(_lines, l -> l like '%...'))") / n_lines
+    alpha_frac = F.when(
+        nw > 0, F.expr("size(filter(_ws, w -> w rlike '[A-Za-z]'))") / nw
+    )
+    stop_lit = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        f"size(array_intersect(array_distinct(transform(_ws, w -> lower(w))), array({stop_lit})))"
+    )
+    m = d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        mean_wl.alias("_mwl"),
+        sym_ratio.alias("_sr"),
+        bullet_frac.alias("_bf"),
+        ellipsis_frac.alias("_ef"),
+        alpha_frac.alias("_af"),
+    )
+    checks = [
+        ("too_few_words", nw < GOPHER_MIN_WORDS),
+        ("too_many_words", nw > GOPHER_MAX_WORDS),
+        (
+            "bad_mean_word_length",
+            (F.coalesce(F.col("_mwl"), F.lit(0.0)) < GOPHER_MIN_MEAN_WORD_LEN)
+            | (F.coalesce(F.col("_mwl"), F.lit(0.0)) > GOPHER_MAX_MEAN_WORD_LEN),
+        ),
+        ("too_many_symbols", F.coalesce(F.col("_sr"), F.lit(0.0)) > GOPHER_MAX_SYMBOL_RATIO),
+        ("too_many_bullets", F.col("_bf") > GOPHER_MAX_BULLET_FRAC),
+        ("too_many_ellipses", F.col("_ef") > GOPHER_MAX_ELLIPSIS_FRAC),
+        ("too_few_alpha_words", F.coalesce(F.col("_af"), F.lit(0.0)) < GOPHER_MIN_ALPHA_FRAC),
+        ("too_few_stopwords", F.col("n_stopwords") < GOPHER_MIN_STOPWORDS),
+    ]
+    reasons = F.concat(*[F.when(c, F.lit(n + ",")).otherwise(F.lit("")) for n, c in checks])
+    keep = None
+    for _, c in checks:
+        keep = ~c if keep is None else keep & ~c
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "n_stopwords",
+        keep.alias("keep"),
+        F.regexp_replace(reasons, ",$", "").alias("reasons"),
+    )

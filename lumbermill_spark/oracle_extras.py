@@ -1323,3 +1323,72 @@ JOIN r ON r.doc_id = t.doc_id
 JOIN l ON l.doc_id = t.doc_id
 JOIN canon ON canon.doc_id = t.doc_id
 """
+
+
+def text_gopher() -> str:
+    """Replay of extras.textstats.augment_gopher + gopher_rules: same
+    augmentation grid, signal definitions, thresholds, fixed-order reason
+    string."""
+    stops = ", ".join(f"'{s}'" for s in TS.GOPHER_STOPWORDS)
+    checks = [
+        ("too_few_words", f"n_words < {TS.GOPHER_MIN_WORDS}"),
+        ("too_many_words", f"n_words > {TS.GOPHER_MAX_WORDS}"),
+        (
+            "bad_mean_word_length",
+            f"(coalesce(mwl, 0) < {TS.GOPHER_MIN_MEAN_WORD_LEN!r}"
+            f" OR coalesce(mwl, 0) > {TS.GOPHER_MAX_MEAN_WORD_LEN!r})",
+        ),
+        ("too_many_symbols", f"coalesce(sr, 0) > {TS.GOPHER_MAX_SYMBOL_RATIO!r}"),
+        ("too_many_bullets", f"bf > {TS.GOPHER_MAX_BULLET_FRAC!r}"),
+        ("too_many_ellipses", f"ef > {TS.GOPHER_MAX_ELLIPSIS_FRAC!r}"),
+        ("too_few_alpha_words", f"coalesce(af, 0) < {TS.GOPHER_MIN_ALPHA_FRAC!r}"),
+        ("too_few_stopwords", f"n_stop < {TS.GOPHER_MIN_STOPWORDS}"),
+    ]
+    reasons = " || ".join(f"CASE WHEN {c} THEN '{n},' ELSE '' END" for n, c in checks)
+    keep = " AND ".join(f"NOT ({c})" for _, c in checks)
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % {TS.GOPHER_BULLET_MOD} = 0
+          THEN '- item one' || chr(10) || '- item two' || chr(10) ELSE '' END)
+    || (CASE WHEN doc_id % {TS.GOPHER_STOP_MOD} = 0
+             THEN '{TS.GOPHER_STOP_LINE}' || chr(10) ELSE '' END)
+    || text
+    || (CASE WHEN doc_id % {TS.GOPHER_ELLIPSIS_MOD} = 0
+             THEN chr(10) || 'read more...' ELSE '' END)
+    || (CASE WHEN doc_id % {TS.GOPHER_SYMBOL_MOD} = 0
+             THEN ' ### #### #####' ELSE '' END) AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(t), '\\s+') END AS ws,
+    string_split(t, chr(10)) AS lines
+  FROM a),
+m AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0
+         THEN list_sum(list_transform(ws, x -> length(x))) / len(ws) END AS mwl,
+    CASE WHEN len(ws) > 0
+         THEN (len(regexp_extract_all(t, '#'))
+             + len(regexp_extract_all(t, '\\.\\.\\.'))) / len(ws) END AS sr,
+    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %')) / len(lines) AS bf,
+    len(list_filter(lines, l -> l LIKE '%...')) / len(lines) AS ef,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) / len(ws) END AS af,
+    len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                       [{stops}])) AS n_stop
+  FROM w)
+SELECT doc_id,
+  n_words::INT AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sr, 6) AS symbol_ratio,
+  round(bf, 6) AS bullet_frac,
+  round(ef, 6) AS ellipsis_frac,
+  round(af, 6) AS alpha_frac,
+  n_stop::INT AS n_stopwords,
+  ({keep}) AS keep,
+  regexp_replace({reasons}, ',$', '') AS reasons
+FROM m
+"""

@@ -955,3 +955,30 @@ def test_corpus_prepare_equals_composition(spark):
         assert r["curate_keep"] == cur[d]["keep"] and r["reasons"] == cur[d]["reasons"]
         assert r["split"] == spl[d] and r["is_canonical"] == canon[d]
         assert r["keep"] == (r["is_canonical"] and r["curate_keep"])
+
+
+def test_gopher_rules_golden(spark):
+    """Hand-checked verdicts: a clean 60-word stopword-bearing doc passes;
+    short/empty/numeric docs fail the right fixed-order rules."""
+    clean = " ".join(textstats.GOPHER_STOPWORDS + [f"word{i}" for i in range(52)])
+    rows = [(1, clean), (2, "x y z"), (3, ""), (5, " ".join(str(i) for i in range(60)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[1]["n_words"] == 60 and out[1]["n_stopwords"] == 8
+    assert out[2]["reasons"] == "too_few_words,bad_mean_word_length,too_few_stopwords"
+    assert out[3]["n_words"] == 0 and out[3]["mean_word_len"] is None
+    assert out[3]["reasons"] == (
+        "too_few_words,bad_mean_word_length,too_few_alpha_words,too_few_stopwords"
+    )
+    # digits-only doc: enough words, but zero alphabetic words
+    assert "too_few_alpha_words" in out[5]["reasons"] and out[5]["alpha_frac"] == 0.0
+
+
+def test_gopher_gate_exercises_both_verdicts(spark):
+    """The augmented driver corpus must produce keeps AND drops — a filter
+    the whole corpus fails is not evidence it filters."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.gopher_rules(textstats.augment_gopher(docs))
+    counts = {r["keep"]: r["n"] for r in out.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
