@@ -546,6 +546,14 @@ def _q_conv_boilerplate(spark, sf_dir):
     return convcorpus.boilerplate_turns(_transcripts(spark, sf_dir))
 
 
+def _q_conv_prepare(spark, sf_dir):
+    """Transcript-axis fused preparation: render -> curation verdict +
+    normalized canonicality + split, two exchanges total."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.prepare_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_conv_curate(spark, sf_dir):
     """End-to-end transcript curation: render conversations then apply the
     corpus keep/drop verdict over the rendered documents - one lazy plan,
@@ -648,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _q_conv_stats,
         "conv_boilerplate": _q_conv_boilerplate,
         "conv_curate": _q_conv_curate,
+        "conv_prepare": _q_conv_prepare,
         "conv_pack": _q_conv_pack,
         "text_vocab_topk": _q_text_vocab_topk,
         "mm_decode_stub": _q_mm_decode,
@@ -734,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": OX.conv_stats(tp),
         "conv_boilerplate": OX.conv_boilerplate(tp),
         "conv_curate": OX.conv_curate(tp),
+        "conv_prepare": OX.conv_prepare(tp),
         "conv_pack": OX.conv_pack(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "mm_decode_stub": OX.mm_decode_stub(),

@@ -167,6 +167,7 @@ def main() -> None:
     timed("conv_boilerplate", lambda: noopw(convcorpus.boilerplate_turns(df)))
     timed("conv_curate", lambda: noopw(convcorpus.curate_conversations(df)))
     timed("conv_pack", lambda: noopw(convcorpus.pack_conversations(df)))
+    timed("conv_prepare", lambda: noopw(convcorpus.prepare_conversations(df)))
     timed("text_vocab_topk", lambda: noopw(textstats.vocab_topk(docs)))
 
     from lumbermill_spark import frames as frames_mod

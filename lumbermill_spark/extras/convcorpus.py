@@ -111,3 +111,19 @@ def pack_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
     )
     return textstats.pack_shards_shuffled(rendered)
+
+
+def prepare_conversations(df: DataFrame) -> DataFrame:
+    """Transcript-axis twin of textstats.corpus_prepare: render each
+    conversation, then run the fused preparation plan (curation signals +
+    verdict, normalized-dedup canonicality, train/val/test split) over the
+    rendered documents. Two exchanges total: render's conv_id shuffle and
+    prepare's normalized-fingerprint window — every other column is a
+    projection. Output is corpus_prepare's contract with doc_id = conv_id
+    (string keys hash/split identically on both engines)."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.corpus_prepare(rendered)

@@ -1392,3 +1392,15 @@ SELECT doc_id,
   regexp_replace({reasons}, ',$', '') AS reasons
 FROM m
 """
+
+
+def conv_prepare(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.prepare_conversations: the documents view
+    is shadowed by the rendered-conversations CTE and the verified
+    corpus_prepare replay is reused verbatim."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({corpus_prepare()})
+"""

@@ -344,3 +344,16 @@ def test_corpus_prepare_one_scan_one_shuffle(spark):
     assert "Join" not in plan
     assert "Python" not in plan
     assert plan.count("FileScan") == plan.count("FileScan parquet") == 1
+
+
+def test_conv_prepare_two_exchanges(spark):
+    """render's conv_id shuffle + prepare's fingerprint window must be the
+    ONLY exchanges in the fused transcript preparation plan — no join, no
+    Python, no global partition."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    plan = _plan(convcorpus.prepare_conversations(df))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan and "Python" not in plan
