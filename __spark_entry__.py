@@ -496,6 +496,14 @@ def _q_text_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), vocab_k=BIGRAM_GATE_K)
 
 
+def _q_text_c4(spark, sf_dir):
+    """C4 page cleaning (Raffel et al. 2020 §2.2): terminal-punctuation
+    line retention + page rules over the sentence-augmented docs."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.c4_clean(textstats.augment_c4(_docs(spark, sf_dir)))
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021 A1.1) over the structure-
     augmented docs: seven native signals, verdict, fixed-order reasons."""
@@ -651,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_logprob": _q_text_trigram_logprob,
         "text_blocklist": _q_text_blocklist,
         "text_gopher": _q_text_gopher,
+        "text_c4": _q_text_c4,
         "corpus_curate": _q_corpus_curate,
         "conv_render": _q_conv_render,
         "conv_stats": _q_conv_stats,
@@ -738,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_trigram_logprob": OX.text_trigram_logprob(TRIGRAM_GATE_K),
         "text_blocklist": OX.text_blocklist(),
         "text_gopher": OX.text_gopher(),
+        "text_c4": OX.text_c4(),
         "corpus_curate": OX.corpus_curate(),
         "conv_render": OX.conv_render(tp),
         "conv_stats": OX.conv_stats(tp),

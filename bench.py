@@ -127,6 +127,7 @@ def main() -> None:
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
     timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
     timed("text_gopher", lambda: noopw(textstats.gopher_rules(textstats.augment_gopher(docs))))
+    timed("text_c4", lambda: noopw(textstats.c4_clean(textstats.augment_c4(docs))))
     timed("text_redact_pii", lambda: noopw(textstats.redact_pii(textstats.augment_pii(docs))))
     timed("corpus_mixture", lambda: noopw(textstats.mixture_sample(docs)))
     timed("corpus_temperature", lambda: noopw(textstats.temperature_sample(docs)))

@@ -1677,3 +1677,87 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.alias("keep"),
         F.regexp_replace(reasons, ",$", "").alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning — the line/page rules of Raffel et al. 2020 (§2.2,
+# the C4 corpus): keep only lines that end in terminal punctuation and
+# carry ≥5 words, drop lines mentioning javascript, and drop whole pages
+# that end up with <3 retained lines, contain "lorem ipsum", or contain a
+# curly brace (code). (C4's dirty-word list is out of scope here — the
+# list itself is the asset, not the operator; the URL blocklist op covers
+# list-driven filtering.) Everything is a native higher-order filter over
+# the line array — zero shuffle, zero Python, clean text rebuilt in
+# original line order. The synthetic docs are single-line without terminal
+# punctuation, so the driver query runs over augment_c4's deterministic
+# sentence/javascript/lorem/brace grids so every rule fires both ways.
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_RX = '[.!?"]$'
+C4_SENT_MODS = (2, 3, 5)  # grids that receive a proper kept sentence each
+C4_JS_MOD = 7
+C4_LOREM_MOD = 11
+C4_BRACE_MOD = 13
+
+
+def augment_c4(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic line-structure augmentation: up to three proper
+    sentences (so docs on the lcm grid pass the ≥3-kept-lines page rule), a
+    javascript line, a lorem-ipsum line, and a brace, on doc_id grids."""
+    d, t = F.col("doc_id"), F.col(text_col)
+    sents = [
+        (C4_SENT_MODS[0], "This line has more than five words here."),
+        (C4_SENT_MODS[1], "Another proper sentence with enough words too."),
+        (C4_SENT_MODS[2], "A third full sentence appears in this document."),
+    ]
+    parts = [t]
+    for mod, line in sents:
+        parts.append(F.when(d % mod == 0, F.lit("\n" + line)).otherwise(F.lit("")))
+    parts.append(
+        F.when(d % C4_JS_MOD == 0, F.lit("\nplease enable javascript to view this page.")).otherwise(F.lit(""))
+    )
+    parts.append(F.when(d % C4_LOREM_MOD == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")))
+    parts.append(F.when(d % C4_BRACE_MOD == 0, F.lit(" {")).otherwise(F.lit("")))
+    return df.withColumn(text_col, F.concat(*parts))
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per doc: line counts before/after the C4 line rules, the page-rule
+    flags, the page verdict, and the cleaned text (kept lines, original
+    order, newline-joined)."""
+
+    def _line_keep(l):
+        lt = F.trim(l)
+        return (
+            (lt != "")
+            & lt.rlike(C4_TERMINAL_RX)
+            & (F.size(F.split(lt, r"\s+")) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(lt).contains("javascript")
+        )
+
+    t = F.col(text_col)
+    d = df.select(
+        "doc_id",
+        F.split(t, "\n").alias("_lines"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    ).select(
+        "doc_id",
+        F.size("_lines").alias("n_lines"),
+        F.filter("_lines", _line_keep).alias("_kept"),
+        "has_lorem",
+        "has_brace",
+    )
+    n_kept = F.size("_kept")
+    keep = (n_kept >= C4_MIN_KEPT_LINES) & ~F.col("has_lorem") & ~F.col("has_brace")
+    return d.select(
+        "doc_id",
+        "n_lines",
+        n_kept.alias("n_kept_lines"),
+        "has_lorem",
+        "has_brace",
+        keep.alias("keep"),
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+    )

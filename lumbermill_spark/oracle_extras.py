@@ -1404,3 +1404,49 @@ WITH documents AS (
 )
 SELECT * FROM ({corpus_prepare()})
 """
+
+
+def text_c4() -> str:
+    """Replay of extras.textstats.augment_c4 + c4_clean: same grids, same
+    line keep-rule (terminal punctuation, ≥5 words, no javascript), same
+    page rules (≥3 kept lines, no lorem ipsum, no brace)."""
+    sents = [
+        (TS.C4_SENT_MODS[0], "This line has more than five words here."),
+        (TS.C4_SENT_MODS[1], "Another proper sentence with enough words too."),
+        (TS.C4_SENT_MODS[2], "A third full sentence appears in this document."),
+    ]
+    aug = "text"
+    for mod, line in sents:
+        aug += f" || (CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}' ELSE '' END)"
+    aug += (
+        f" || (CASE WHEN doc_id % {TS.C4_JS_MOD} = 0"
+        " THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END)"
+        f" || (CASE WHEN doc_id % {TS.C4_LOREM_MOD} = 0"
+        " THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)"
+        f" || (CASE WHEN doc_id % {TS.C4_BRACE_MOD} = 0 THEN ' {{' ELSE '' END)"
+    )
+    line_keep = (
+        "l -> trim(l) <> '' AND regexp_matches(trim(l), '[.!?\"]$')"
+        f" AND len(regexp_split_to_array(trim(l), '\\s+')) >= {TS.C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+w AS (
+  SELECT doc_id, string_split(t, chr(10)) AS lines,
+    contains(lower(t), 'lorem ipsum') AS has_lorem,
+    contains(t, '{{') AS has_brace
+  FROM a),
+m AS (
+  SELECT doc_id, len(lines) AS n_lines,
+    list_filter(lines, {line_keep}) AS kept,
+    has_lorem, has_brace
+  FROM w)
+SELECT doc_id,
+  n_lines::INT AS n_lines,
+  len(kept)::INT AS n_kept_lines,
+  has_lorem, has_brace,
+  (len(kept) >= {TS.C4_MIN_KEPT_LINES} AND NOT has_lorem AND NOT has_brace) AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM m
+"""

@@ -982,3 +982,31 @@ def test_gopher_gate_exercises_both_verdicts(spark):
     out = textstats.gopher_rules(textstats.augment_gopher(docs))
     counts = {r["keep"]: r["n"] for r in out.groupBy("keep").agg(F.count("*").alias("n")).collect()}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+def test_c4_clean_golden(spark):
+    """Line rules: terminal punctuation + >=5 words + no javascript; page
+    rules: >=3 kept lines, no lorem ipsum, no brace."""
+    rows = [
+        # 3 proper sentences -> kept page
+        (1, "One proper sentence sits right here.\nAnother proper sentence sits here too.\nA third proper sentence closes it out."),
+        # good lines but a brace kills the page
+        (2, "One proper sentence sits right here.\nAnother proper sentence sits here too.\nA third proper sentence closes it out. {"),
+        # javascript line is removed; only 2 kept -> dropped
+        (3, "One proper sentence sits right here.\nAnother proper sentence sits here too.\nplease enable javascript to view this page."),
+        # no terminal punctuation anywhere -> nothing kept
+        (4, "this line just trails off\nso does this one"),
+        # lorem ipsum page rule
+        (5, "One proper sentence sits right here.\nAnother proper sentence sits here too.\nA third proper sentence closes it out.\nlorem ipsum dolor sit amet."),
+        # short line (4 words) not kept even with a period
+        (6, "Too short a line.\nAnother proper sentence sits here too.\nA third proper sentence closes it out."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.c4_clean(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_kept_lines"] == 3
+    assert out[2]["keep"] is False and out[2]["has_brace"] is True
+    assert out[3]["keep"] is False and out[3]["n_kept_lines"] == 2
+    assert out[4]["n_kept_lines"] == 0 and out[4]["clean_text"] == ""
+    assert out[5]["keep"] is False and out[5]["has_lorem"] is True
+    assert out[6]["n_kept_lines"] == 2 and out[6]["keep"] is False
+    assert out[6]["clean_text"].startswith("Another proper")
