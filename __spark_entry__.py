@@ -285,6 +285,17 @@ def _q_sim_ivf_trained(spark, sf_dir):
     return similarity.topk_ivf(_embeds(spark, sf_dir), centroids=cents)
 
 
+def _q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) from the persisted
+    offline-trained codebooks: encode + ADC LUT scan + top-k, all under the
+    value-exact gate via the shared parquet artifact."""
+    from lumbermill_spark.extras import similarity
+
+    path = similarity.ensure_pq_codebooks(sf_dir)
+    books = spark.read.parquet(path).select("m", "cid", "cv")
+    return similarity.topk_pq(_embeds(spark, sf_dir), books)
+
+
 def _q_text_tokens(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -631,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_trained": _q_sim_ivf_trained,
+        "sim_pq_topk": _q_sim_pq_topk,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -719,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         # ensure_trained_centroids is sessionless (numpy) so the artifact
         # exists regardless of whether the oracle or the query runs first
         "sim_ivf_trained": OX.sim_ivf_trained(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
+        "sim_pq_topk": OX.sim_pq_topk(_SIM.ensure_pq_codebooks(SF_ORACLE_DIR)),
         "text_tokens": OX.text_tokens(),
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),

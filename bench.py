@@ -124,6 +124,8 @@ def main() -> None:
     timed("dedup_ngram_jaccard", lambda: (noopw(dedup.ngram_jaccard_pairs(dedup.augmented_docs(docs))), spark.catalog.clearCache()))
     timed("sim_topk_bruteforce", lambda: noopw(similarity.topk_bruteforce(embeds)))
     timed("dedup_semdedup", lambda: noopw(dedup.semdedup(embeds)))
+    pq_books = spark.read.parquet(similarity.ensure_pq_codebooks(sf_dir)).select("m", "cid", "cv")
+    timed("sim_pq_topk", lambda: noopw(similarity.topk_pq(embeds, pq_books)))
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
     timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
     timed("text_gopher", lambda: noopw(textstats.gopher_rules(textstats.augment_gopher(docs))))

@@ -297,3 +297,177 @@ def topk_lsh(embeddings: DataFrame, k: int = LSH_TOPK, n_queries: int = N_QUERIE
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, "Product quantization for
+# nearest neighbor search") — the compression side of billion-scale ANN:
+# the D-dim vector splits into PQ_M subvectors, each quantized to one of
+# PQ_K per-subspace centroids, so a 64-dim float64 vector becomes PQ_M
+# small codes (the classic IVF-PQ layout pairs this with the coarse
+# quantizer above). Codebooks are trained OFFLINE (seeded numpy k-means per
+# subspace — same artifact discipline as ensure_trained_centroids), so the
+# persisted parquet is the contract both the Spark query AND the DuckDB
+# oracle read, and the whole encode→ADC→top-k path is value-verifiable.
+#
+# Query scoring is ADC (asymmetric distance): per query, a PQ_M×PQ_K
+# lookup table of exact subspace distances; a candidate's approximate
+# distance is the sum of its codes' LUT entries. Here the scan is kept
+# RELATIONAL — codes equality-join the broadcast LUT on (m, code) and a
+# grouped sum folds the PQ_M partials — which is the oracle-replayable
+# form; a production scan at 10^12 rows would fold the broadcast LUT
+# inside an Arrow pandas-UDF kernel instead (one fused map, no
+# (neighbor, query, m) intermediate), with identical results up to the
+# same 6-dp rounding. Per-subspace distances are bit-identical across
+# engines (fixed-order arithmetic); only the cross-subspace sum is
+# group-ordered, hence the 6-dp round on the fold.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_DS = 8  # dims per subspace (embeddings are 64-dim)
+PQ_TOPK = 5
+N_QUERIES_PQ = 8
+
+
+def train_pq_offline(vectors, m: int = PQ_M, k: int = PQ_K, seed: int = 11, max_iter: int = 25):
+    """Seeded euclidean k-means per subspace over a numpy matrix. Returns a
+    (m, k, ds) float64 array of codebooks — deterministic, sessionless."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    n, d = X.shape
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, ds))
+    for mi in range(m):
+        S = X[:, mi * ds : (mi + 1) * ds]
+        cents = [S[rng.integers(n)]]
+        for _ in range(1, k):
+            d2 = np.min(np.stack([((S - c) ** 2).sum(axis=1) for c in cents], axis=1), axis=1)
+            s = d2.sum()
+            probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+            cents.append(S[rng.choice(n, p=probs)])
+        C = np.stack(cents)
+        for _ in range(max_iter):
+            assign = np.argmin(((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+            newC = C.copy()
+            for ci in range(k):
+                members = S[assign == ci]
+                if len(members):
+                    newC[ci] = members.mean(axis=0)
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books[mi] = C
+    return books
+
+
+def pq_codebooks_path(sf_dir: str) -> str:
+    """Content-fingerprinted cache path for an sf_dir's PQ codebooks (same
+    keying rule as centroids_path)."""
+    import hashlib
+    import os
+
+    from .. import datagen
+
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "embeddings.parquet"), "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            h.update(block)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(
+        datagen.data_dir(), "pq_codebooks_%s_%s.parquet" % (tag, h.hexdigest()[:12])
+    )
+
+
+def ensure_pq_codebooks(sf_dir: str) -> str:
+    """Train (offline, seeded) and persist the PQ codebooks for an sf_dir's
+    embeddings: parquet (m int, cid int, cv array<double>) read by both the
+    Spark query and the DuckDB oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import datagen
+
+    p = pq_codebooks_path(sf_dir)
+    if os.path.exists(p):
+        return p
+    import numpy as np
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    X = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    books = train_pq_offline(X)
+    rows_m, rows_c, rows_v = [], [], []
+    for mi in range(books.shape[0]):
+        for ci in range(books.shape[1]):
+            rows_m.append(mi)
+            rows_c.append(ci)
+            rows_v.append([float(x) for x in books[mi, ci]])
+    tbl = pa.table(
+        {
+            "m": pa.array(rows_m, type=pa.int32()),
+            "cid": pa.array(rows_c, type=pa.int32()),
+            "cv": pa.array(rows_v, type=pa.list_(pa.float64())),
+        }
+    )
+    datagen._write_atomic(tbl, p)
+    return p
+
+
+def _sub_dist(v: Column, cv: Column, m: Column) -> Column:
+    """Exact squared euclidean distance between v's m-th subvector and cv —
+    fixed-order arithmetic, bit-identical across engines."""
+    sub = F.expr(f"slice(v, m * {PQ_DS} + 1, {PQ_DS})")
+    return F.aggregate(
+        F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def encode_pq(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, m, code): each vector's per-subspace nearest codebook entry
+    (ties to the lowest cid). Codebooks (PQ_M×PQ_K rows) ride broadcast."""
+    e = _vecs(embeddings)
+    scored = e.crossJoin(F.broadcast(codebooks)).select(
+        "vec_id", "m", "cid", _sub_dist(F.col("v"), F.col("cv"), F.col("m")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    k: int = PQ_TOPK,
+    n_queries: int = N_QUERIES_PQ,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, rank, adc_dist). Smallest
+    approximate distance first, ties to the lowest neighbor_id."""
+    e = _vecs(embeddings)
+    codes = encode_pq(embeddings, codebooks)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("v")
+    )
+    lut = q.crossJoin(F.broadcast(codebooks)).select(
+        "query_id", "m", F.col("cid").alias("code"),
+        _sub_dist(F.col("v"), F.col("cv"), F.col("m")).alias("d"),
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

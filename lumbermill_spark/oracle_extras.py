@@ -1450,3 +1450,39 @@ SELECT doc_id,
   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM m
 """
+
+
+def sim_pq_topk(codebooks_path: str) -> str:
+    """Replay of extras.similarity.topk_pq from the same persisted PQ
+    codebooks: per-subspace argmin encode (fixed-order squared distances,
+    bit-identical), ADC LUT join, 6-dp-rounded grouped fold, top-k."""
+    ds = SIM.PQ_DS
+    dist_e = (
+        f"list_sum([(e.v[cb.m * {ds} + i] - cb.cv[i]) * (e.v[cb.m * {ds} + i] - cb.cv[i]) "
+        f"FOR i IN range(1, {ds + 1})])"
+    )
+    dist_q = (
+        f"list_sum([(q.v[cb.m * {ds} + i] - cb.cv[i]) * (q.v[cb.m * {ds} + i] - cb.cv[i]) "
+        f"FOR i IN range(1, {ds + 1})])"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+cb AS (SELECT m, cid, cv FROM read_parquet('{codebooks_path}')),
+enc AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT e.vec_id, cb.m, cb.cid,
+      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        ORDER BY {dist_e} ASC, cb.cid ASC) AS r
+    FROM e, cb) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {SIM.N_QUERIES_PQ}),
+lut AS (SELECT q.query_id, cb.m, cb.cid AS code, {dist_q} AS d FROM q, cb),
+s AS (
+  SELECT lut.query_id, enc.vec_id AS neighbor_id, round(sum(lut.d), 6) AS adc_dist
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.query_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+FROM r WHERE rank <= {SIM.PQ_TOPK}
+"""

@@ -1010,3 +1010,38 @@ def test_c4_clean_golden(spark):
     assert out[5]["keep"] is False and out[5]["has_lorem"] is True
     assert out[6]["n_kept_lines"] == 2 and out[6]["keep"] is False
     assert out[6]["clean_text"].startswith("Another proper")
+
+
+def test_pq_topk_recall_and_code_range(spark, tmp_path):
+    """PQ codes stay in [0, PQ_K); ADC top-5 recalls far more of the exact
+    euclidean top-5 than chance. The floor is deliberately loose: on the
+    near-isotropic synthetic vectors pairwise distances concentrate (same
+    honesty note as topk_ivf), so 8x16 codes land ~0.25 absolute recall —
+    25x the ~1% chance rate — and the bound pins that order of magnitude,
+    not a tuned benchmark number."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = similarity.ensure_pq_codebooks(sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = spark.read.parquet(path).select("m", "cid", "cv")
+
+    codes = similarity.encode_pq(e, books)
+    n = e.count()
+    assert codes.count() == n * similarity.PQ_M
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < similarity.PQ_K
+
+    got = {}
+    for r in similarity.topk_pq(e, books).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    X = np.asarray(
+        [r["embedding"] for r in e.orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    hits = tot = 0
+    for qid in range(similarity.N_QUERIES_PQ):
+        d2 = ((X - X[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[: similarity.PQ_TOPK])
+        hits += len(exact & got[qid])
+        tot += similarity.PQ_TOPK
+    assert hits / tot >= 0.15, f"ADC recall@5 too low: {hits}/{tot}"

@@ -357,3 +357,17 @@ def test_conv_prepare_two_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_pq_scan_joins_are_broadcast(spark):
+    """Encode and ADC must broadcast the bounded codebook/LUT sides — never
+    a shuffle join on the code stream, never a cartesian over candidates."""
+    from lumbermill_spark.extras import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    books = spark.read.parquet(similarity.ensure_pq_codebooks(sf_dir)).select("m", "cid", "cv")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(similarity.topk_pq(e, books))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
