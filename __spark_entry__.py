@@ -296,6 +296,19 @@ def _q_sim_pq_topk(spark, sf_dir):
     return similarity.topk_pq(_embeds(spark, sf_dir), books)
 
 
+def _q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ residual ANN (the FAISS IVFx,PQy layout): trained coarse
+    quantizer + offline residual codebooks, both persisted artifacts under
+    the value-exact gate."""
+    from lumbermill_spark.extras import similarity
+
+    cents = spark.read.parquet(similarity.ensure_trained_centroids(sf_dir)).select("cid", "cv")
+    books = spark.read.parquet(similarity.ensure_pq_residual_codebooks(sf_dir)).select(
+        "m", "cid", "cv"
+    )
+    return similarity.topk_ivfpq(_embeds(spark, sf_dir), cents, books)
+
+
 def _q_text_tokens(spark, sf_dir):
     from lumbermill_spark.extras import textstats
 
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_trained": _q_sim_ivf_trained,
         "sim_pq_topk": _q_sim_pq_topk,
+        "sim_ivfpq_topk": _q_sim_ivfpq_topk,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -732,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
         # exists regardless of whether the oracle or the query runs first
         "sim_ivf_trained": OX.sim_ivf_trained(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
         "sim_pq_topk": OX.sim_pq_topk(_SIM.ensure_pq_codebooks(SF_ORACLE_DIR)),
+        "sim_ivfpq_topk": OX.sim_ivfpq_topk(
+            _SIM.ensure_trained_centroids(SF_ORACLE_DIR),
+            _SIM.ensure_pq_residual_codebooks(SF_ORACLE_DIR),
+        ),
         "text_tokens": OX.text_tokens(),
         "text_quality": OX.text_quality(),
         "text_langid": OX.text_langid(),

@@ -126,6 +126,9 @@ def main() -> None:
     timed("dedup_semdedup", lambda: noopw(dedup.semdedup(embeds)))
     pq_books = spark.read.parquet(similarity.ensure_pq_codebooks(sf_dir)).select("m", "cid", "cv")
     timed("sim_pq_topk", lambda: noopw(similarity.topk_pq(embeds, pq_books)))
+    ivfpq_cents = spark.read.parquet(similarity.ensure_trained_centroids(sf_dir)).select("cid", "cv")
+    ivfpq_books = spark.read.parquet(similarity.ensure_pq_residual_codebooks(sf_dir)).select("m", "cid", "cv")
+    timed("sim_ivfpq_topk", lambda: noopw(similarity.topk_ivfpq(embeds, ivfpq_cents, ivfpq_books)))
     timed("text_quality", lambda: noopw(textstats.with_quality(docs)))
     timed("text_repetition", lambda: noopw(textstats.with_repetition(docs)))
     timed("text_gopher", lambda: noopw(textstats.gopher_rules(textstats.augment_gopher(docs))))

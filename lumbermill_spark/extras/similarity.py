@@ -471,3 +471,151 @@ def topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding — the full billion-scale ANN layout of
+# Jégou et al. 2011 §IV (what FAISS calls IVFx,PQy): each vector is
+# assigned to its nearest coarse centroid (the trained spherical-k-means
+# quantizer above) and only its RESIDUAL v − c is product-quantized —
+# residuals concentrate near the origin, so the same code budget spends on
+# much smaller displacements. Queries probe IVF_NPROBE cells; the ADC
+# lookup table is built per (query, probed cell) against the residual
+# q − c, so candidates and LUT agree on the frame. Both artifacts (coarse
+# centroids + residual codebooks) are offline, seeded, content-
+# fingerprinted parquet read by Spark AND the oracle.
+# Scale shape: candidates shuffle once on cell id; LUT is
+# Q×nprobe×PQ_M×PQ_K rows, broadcast; the scan is an equality join on
+# (cid, m, code) + a grouped 6-dp-rounded fold. Nothing all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def pq_residual_codebooks_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from .. import datagen
+
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "embeddings.parquet"), "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            h.update(block)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(
+        datagen.data_dir(), "pq_residual_codebooks_%s_%s.parquet" % (tag, h.hexdigest()[:12])
+    )
+
+
+def ensure_pq_residual_codebooks(sf_dir: str) -> str:
+    """Train (offline, seeded) PQ codebooks on the RESIDUALS of each vector
+    w.r.t. its nearest trained coarse centroid, and persist them. Depends on
+    ensure_trained_centroids(sf_dir) — the same coarse frame the query and
+    oracle assign with."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import datagen
+
+    p = pq_residual_codebooks_path(sf_dir)
+    if os.path.exists(p):
+        return p
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    X = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cents = pq.read_table(ensure_trained_centroids(sf_dir))
+    C = np.asarray(cents["cv"].to_pylist(), dtype=np.float64)
+    cids = np.asarray(cents["cid"].to_pylist())
+    order = np.argsort(cids)
+    C = C[order]
+    # nearest-1 coarse assignment BY COSINE with cid tie-break — must match
+    # _assign_cells exactly or train/serve frames diverge
+    nx = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    nc = np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sims = (X / nx) @ (C / nc).T
+    assign = np.argmax(sims, axis=1)  # argmax takes the FIRST max = lowest cid
+    R = X - C[assign]
+    books = train_pq_offline(R)
+    rows_m, rows_c, rows_v = [], [], []
+    for mi in range(books.shape[0]):
+        for ci in range(books.shape[1]):
+            rows_m.append(mi)
+            rows_c.append(ci)
+            rows_v.append([float(x) for x in books[mi, ci]])
+    tbl = pa.table(
+        {
+            "m": pa.array(rows_m, type=pa.int32()),
+            "cid": pa.array(rows_c, type=pa.int32()),
+            "cv": pa.array(rows_v, type=pa.list_(pa.float64())),
+        }
+    )
+    datagen._write_atomic(tbl, p)
+    return p
+
+
+def _residual(v: Column, cv: Column) -> Column:
+    return F.zip_with(v, cv, lambda x, y: x - y)
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = PQ_TOPK,
+    n_queries: int = N_QUERIES_PQ,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-PQ ADC top-k: (query_id, neighbor_id, rank, adc_dist) over the
+    candidates in each query's nprobe probed cells, distances between the
+    query's residual and the candidates' residual codes."""
+    e = _vecs(embeddings)
+    cents = F.broadcast(centroids)
+
+    # candidates: nearest-1 cell, residual vs that cell, PQ-encode residual
+    cand = _assign_cells(e, centroids, 1, "vec_id").join(cents, "cid").select(
+        "vec_id", "cid", _residual(F.col("v"), F.col("cv")).alias("v")
+    )
+    books = F.broadcast(codebooks.select(F.col("m"), F.col("cid").alias("code_cid"), F.col("cv").alias("bv")))
+    enc_scored = cand.select("vec_id", "cid", "v").crossJoin(books).select(
+        "vec_id",
+        "cid",
+        "m",
+        "code_cid",
+        _sub_dist(F.col("v"), F.col("bv"), F.col("m")).alias("d"),
+    )
+    we = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code_cid").asc())
+    codes = (
+        enc_scored.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid", "m", F.col("code_cid").alias("code"))
+    )
+
+    # queries: nprobe probed cells, per-cell residual LUT
+    q = _assign_cells(
+        e.filter(F.col("vec_id") < n_queries).withColumnRenamed("vec_id", "query_id"),
+        centroids,
+        nprobe,
+        "query_id",
+    ).join(cents, "cid").select(
+        "query_id", "cid", _residual(F.col("v"), F.col("cv")).alias("v")
+    )
+    lut = q.crossJoin(books).select(
+        "query_id",
+        "cid",
+        "m",
+        F.col("code_cid").alias("code"),
+        _sub_dist(F.col("v"), F.col("bv"), F.col("m")).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -1486,3 +1486,61 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
 FROM r WHERE rank <= {SIM.PQ_TOPK}
 """
+
+
+def sim_ivfpq_topk(centroids_path: str, codebooks_path: str) -> str:
+    """Replay of extras.similarity.topk_ivfpq from the same two persisted
+    artifacts: cosine nearest-1 coarse assignment (as sim_ivf_trained),
+    residual PQ encode, per-(query, probed-cell) residual LUT, 6-dp-rounded
+    ADC fold, top-k."""
+    ds = SIM.PQ_DS
+    cos_vc = _cos("e.v", "c.cv")
+    d_enc = (
+        f"list_sum([(ca.rv[cb.m * {ds} + i] - cb.cv[i]) * (ca.rv[cb.m * {ds} + i] - cb.cv[i]) "
+        f"FOR i IN range(1, {ds + 1})])"
+    )
+    d_lut = (
+        f"list_sum([(qa.rv[cb.m * {ds} + i] - cb.cv[i]) * (qa.rv[cb.m * {ds} + i] - cb.cv[i]) "
+        f"FOR i IN range(1, {ds + 1})])"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+c AS (SELECT cid, cv FROM read_parquet('{centroids_path}')),
+cb AS (SELECT m, cid, cv FROM read_parquet('{codebooks_path}')),
+ca0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c) WHERE r = 1),
+ca AS (
+  SELECT ca0.vec_id, ca0.cid,
+    [ca0.v[i] - c.cv[i] FOR i IN range(1, len(ca0.v) + 1)] AS rv
+  FROM ca0 JOIN c ON c.cid = ca0.cid),
+enc AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT ca.vec_id, ca.cid AS cell, cb.m, cb.cid AS code,
+      row_number() OVER (PARTITION BY ca.vec_id, cb.m
+        ORDER BY {d_enc} ASC, cb.cid ASC) AS r
+    FROM ca, cb) WHERE r = 1),
+qa0 AS (
+  SELECT query_id, v, cid FROM (
+    SELECT e.vec_id AS query_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c WHERE e.vec_id < {SIM.N_QUERIES_PQ}) WHERE r <= {SIM.IVF_NPROBE}),
+qa AS (
+  SELECT qa0.query_id, qa0.cid,
+    [qa0.v[i] - c.cv[i] FOR i IN range(1, len(qa0.v) + 1)] AS rv
+  FROM qa0 JOIN c ON c.cid = qa0.cid),
+lut AS (
+  SELECT qa.query_id, qa.cid AS cell, cb.m, cb.cid AS code, {d_lut} AS d
+  FROM qa, cb),
+s AS (
+  SELECT lut.query_id, enc.vec_id AS neighbor_id, round(sum(lut.d), 6) AS adc_dist
+  FROM enc JOIN lut ON enc.cell = lut.cell AND enc.m = lut.m AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.query_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+FROM r WHERE rank <= {SIM.PQ_TOPK}
+"""

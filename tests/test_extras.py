@@ -1045,3 +1045,37 @@ def test_pq_topk_recall_and_code_range(spark, tmp_path):
         hits += len(exact & got[qid])
         tot += similarity.PQ_TOPK
     assert hits / tot >= 0.15, f"ADC recall@5 too low: {hits}/{tot}"
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark):
+    """IVF-PQ must return only neighbors whose (nearest-1) cell is among
+    the query's nprobe probed cells, with contiguous ranks per query."""
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = spark.read.parquet(similarity.ensure_trained_centroids(sf_dir)).select("cid", "cv")
+    books = spark.read.parquet(similarity.ensure_pq_residual_codebooks(sf_dir)).select(
+        "m", "cid", "cv"
+    )
+    out = similarity.topk_ivfpq(e, cents, books).collect()
+    assert out, "no results"
+    ev = similarity._vecs(e)
+    cell1 = {
+        r["vec_id"]: r["cid"]
+        for r in similarity._assign_cells(ev, cents, 1, "vec_id").collect()
+    }
+    probed = {}
+    for r in similarity._assign_cells(
+        ev.filter(F.col("vec_id") < similarity.N_QUERIES_PQ).withColumnRenamed(
+            "vec_id", "query_id"
+        ),
+        cents,
+        similarity.IVF_NPROBE,
+        "query_id",
+    ).collect():
+        probed.setdefault(r["query_id"], set()).add(r["cid"])
+    by_q = {}
+    for r in out:
+        assert cell1[r["neighbor_id"]] in probed[r["query_id"]], r
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)

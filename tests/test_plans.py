@@ -371,3 +371,20 @@ def test_pq_scan_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_scan_joins_are_broadcast(spark):
+    """IVF-PQ's encode/LUT joins broadcast the bounded artifact sides; the
+    candidate stream never sort-merge-joins or cross-products."""
+    from lumbermill_spark.extras import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = spark.read.parquet(similarity.ensure_trained_centroids(sf_dir)).select("cid", "cv")
+    books = spark.read.parquet(similarity.ensure_pq_residual_codebooks(sf_dir)).select(
+        "m", "cid", "cv"
+    )
+    plan = _plan(similarity.topk_ivfpq(e, cents, books))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
