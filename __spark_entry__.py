@@ -603,6 +603,24 @@ def _q_conv_pack(spark, sf_dir):
     return convcorpus.pack_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_conv_loss_mask(spark, sf_dir):
+    """SFT loss-mask spans: per-turn [start, end) char span inside the
+    rendered conversation document plus the trainable flag (infrastructure
+    roles masked) - one running-sum window on the conv_id shuffle."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.loss_mask_spans(_transcripts(spark, sf_dir))
+
+
+def _q_conv_truncate(spark, sf_dir):
+    """Context-budget truncation: longest suffix of turns within the
+    ws-token budget plus the first-turn anchor; per-conversation kept/total
+    report."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.truncate_to_budget(_transcripts(spark, sf_dir))
+
+
 def _q_text_vocab_topk(spark, sf_dir):
     """Tokenizer vocabulary induction: top-K token table with corpus
     coverage (rank, count, frac, cum_frac)."""
@@ -693,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_curate": _q_conv_curate,
         "conv_prepare": _q_conv_prepare,
         "conv_pack": _q_conv_pack,
+        "conv_loss_mask": _q_conv_loss_mask,
+        "conv_truncate": _q_conv_truncate,
         "text_vocab_topk": _q_text_vocab_topk,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -786,6 +806,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_curate": OX.conv_curate(tp),
         "conv_prepare": OX.conv_prepare(tp),
         "conv_pack": OX.conv_pack(tp),
+        "conv_loss_mask": OX.conv_loss_mask(tp),
+        "conv_truncate": OX.conv_truncate(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),

@@ -12,11 +12,13 @@ a conversation) are excluded by contract, mirroring lm_turn_ordering."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TURN_SEP = "\n"
 BOILER_MIN_CONVS = 50  # a turn text seen in >= this many convs is boilerplate
+MASK_ROLES = ("heroku",)  # infrastructure/log turns carry no training loss
+CONV_TOKEN_BUDGET = 256  # ws-token context budget for truncate_to_budget
 
 
 def render_conversations(df: DataFrame) -> DataFrame:
@@ -111,6 +113,80 @@ def pack_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
     )
     return textstats.pack_shards_shuffled(rendered)
+
+
+def loss_mask_spans(df: DataFrame) -> DataFrame:
+    """SFT loss-mask construction: for every turn, its character span
+    [span_start, span_end) inside the conversation's rendered training
+    document (render_conversations layout: 'role: text' lines joined by
+    TURN_SEP) and whether the span is TRAINABLE — infrastructure/log roles
+    (MASK_ROLES) are masked out of the loss exactly the way an SFT pipeline
+    masks non-assistant turns; every other role trains. Downstream, the
+    tokenizer maps char spans to token spans and the mask rides along.
+
+    Shape at 10^12 turns: ONE conv_id hash shuffle feeding a running-sum
+    window whose state is a single long — no rendered text is materialized
+    here at all (only line lengths), so this is strictly cheaper than
+    conv_render despite sharing its exchange."""
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(F.concat_ws(": ", F.col("role"), F.col("text"))).cast("bigint").alias("_len"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col("_len") + len(TURN_SEP)).over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.alias("span_start"),
+        (start + F.col("_len")).cast("bigint").alias("span_end"),
+        (~F.col("role").isin(*MASK_ROLES)).alias("trainable"),
+    )
+
+
+def truncate_to_budget(df: DataFrame, budget: int = CONV_TOKEN_BUDGET) -> DataFrame:
+    """Context-window truncation: keep the longest SUFFIX of turns whose
+    cumulative ws-token count fits the budget (most-recent-turns-win, the
+    standard chat-template rule), plus the conversation's FIRST turn as the
+    context anchor (the system-prompt-survives rule) even when the suffix
+    budget has already evicted it. Per conversation: total/kept turns, kept
+    tokens, and whether the anchor rule had to resurrect the head turn.
+
+    One conv_id hash shuffle; both windows (the reverse running sum and the
+    min-turn anchor) ride the same exchange, and the aggregate folds on the
+    already-partitioned data — O(1) state per conversation."""
+    from . import textstats
+
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        textstats.ws_token_count(F.col("text")).cast("bigint").alias("_tok"),
+    )
+    w_sfx = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("conv_id")
+    d = d.select(
+        "conv_id",
+        "_tok",
+        (F.sum("_tok").over(w_sfx) <= budget).alias("_keep_sfx"),
+        (F.col("turn_idx") == F.min("turn_idx").over(w_all)).alias("_is_head"),
+    )
+    keep = F.col("_keep_sfx") | F.col("_is_head")
+    return d.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("n_turns"),
+        F.sum(keep.cast("int")).cast("int").alias("kept_turns"),
+        F.sum(F.when(keep, F.col("_tok")).otherwise(0)).cast("bigint").alias("kept_tokens"),
+        F.max(F.col("_is_head") & ~F.col("_keep_sfx")).alias("head_resurrected"),
+    )
 
 
 def prepare_conversations(df: DataFrame) -> DataFrame:

@@ -994,6 +994,59 @@ SELECT * FROM ({text_pack_shuffled()})
 """
 
 
+def conv_loss_mask(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.loss_mask_spans: running char-span sum
+    over (conv_id, turn_idx)-ordered 'role: text' line lengths."""
+    from .extras import convcorpus as CC
+
+    masked = ", ".join("'%s'" % r for r in CC.MASK_ROLES)
+    sep = len(CC.TURN_SEP)
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+    length(role || ': ' || text)::BIGINT AS len
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL),
+s AS (
+  SELECT conv_id, turn_idx, role, len,
+    COALESCE(sum(len + {sep}) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS span_start
+  FROM t)
+SELECT conv_id, turn_idx, role, span_start,
+  (span_start + len)::BIGINT AS span_end,
+  role NOT IN ({masked}) AS trainable
+FROM s
+"""
+
+
+def conv_truncate(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.truncate_to_budget: reverse running
+    ws-token sum (suffix keep) + min-turn anchor, folded per conversation."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL),
+s AS (
+  SELECT conv_id, tok,
+    sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {CC.CONV_TOKEN_BUDGET}
+      AS keep_sfx,
+    turn_idx = min(turn_idx) OVER (PARTITION BY conv_id) AS is_head
+  FROM t)
+SELECT conv_id, count(*)::INT AS n_turns,
+  sum((keep_sfx OR is_head)::INT)::INT AS kept_turns,
+  COALESCE(sum(tok) FILTER (keep_sfx OR is_head), 0)::BIGINT AS kept_tokens,
+  bool_or(is_head AND NOT keep_sfx) AS head_resurrected
+FROM s GROUP BY conv_id
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

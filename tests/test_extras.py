@@ -759,6 +759,61 @@ def test_boilerplate_turns_golden(spark, monkeypatch):
     assert hashlib.md5(b"orphan").hexdigest() not in out
 
 
+def test_conv_loss_mask_golden(spark):
+    """Char spans index into the rendered document exactly; MASK_ROLES
+    turns are untrainable; NULL conv_id excluded."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        ("c1", 1, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("c1", 2, "heroku", "router log", None, "2024-01-01 00:00:01"),
+        ("c1", 3, "assistant", "world", None, "2024-01-01 00:00:05"),
+        (None, 1, "user", "orphan", None, "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["turn_idx"]: r for r in convcorpus.loss_mask_spans(df).collect()}
+    assert set(out) == {1, 2, 3}
+    rendered = "user: hello\nheroku: router log\nassistant: world"
+    # every span slices back to exactly its 'role: text' line
+    for idx, line in [(1, "user: hello"), (2, "heroku: router log"), (3, "assistant: world")]:
+        r = out[idx]
+        assert rendered[r["span_start"] : r["span_end"]] == line
+    assert out[1]["trainable"] and out[3]["trainable"] and not out[2]["trainable"]
+
+
+def test_conv_truncate_golden(spark):
+    """Suffix-within-budget rule plus the head-anchor resurrection; exact
+    per-conversation counts against a hand computation."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        # c1: tokens per turn 5,4,3 — budget 6 keeps only the last turn (3),
+        # then 3+4=7 > 6 stops; head (turn 1) resurrected => kept 2 turns.
+        ("c1", 1, "user", "a b c d e", None, None),
+        ("c1", 2, "assistant", "f g h i", None, None),
+        ("c1", 3, "user", "j k l", None, None),
+        # c2: 2+1=3 <= 6 — everything fits, head kept by suffix already.
+        ("c2", 1, "user", "x y", None, None),
+        ("c2", 2, "assistant", "z", None, None),
+        (None, 1, "user", "orphan", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {
+        r["conv_id"]: r for r in convcorpus.truncate_to_budget(df, budget=6).collect()
+    }
+    assert set(out) == {"c1", "c2"}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["kept_turns"], c1["kept_tokens"]) == (3, 2, 8)
+    assert c1["head_resurrected"]
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["kept_turns"], c2["kept_tokens"]) == (2, 2, 3)
+    assert not c2["head_resurrected"]
+
+
 def test_vocab_topk_golden(spark):
     """Hand-checked coverage table with a tie (b and c both 2, token-asc
     tie-break) and K smaller than the vocabulary."""
