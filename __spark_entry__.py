@@ -621,6 +621,31 @@ def _q_conv_truncate(spark, sf_dir):
     return convcorpus.truncate_to_budget(_transcripts(spark, sf_dir))
 
 
+def _q_conv_near_dup(spark, sf_dir):
+    """Conversation-level near-dup: MinHash+LSH over prefix-capped rendered
+    conversations (+ deterministic synthetic copies), verified pairs with
+    exact shingle Jaccard."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.near_dup_conversations(_transcripts(spark, sf_dir))
+
+
+def _q_conv_turn_taking(spark, sf_dir):
+    """Turn-taking QA report: turn_idx uniqueness/contiguity, consecutive
+    same-role runs, opener role — per conversation."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.turn_taking(_transcripts(spark, sf_dir))
+
+
+def _q_conv_tool_flow(spark, sf_dir):
+    """Tool transition matrix: (prev_tool -> tool) counts over each
+    conversation's tool-bearing turns plus per-prev_tool share."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.tool_flow(_transcripts(spark, sf_dir))
+
+
 def _q_text_vocab_topk(spark, sf_dir):
     """Tokenizer vocabulary induction: top-K token table with corpus
     coverage (rank, count, frac, cum_frac)."""
@@ -713,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pack": _q_conv_pack,
         "conv_loss_mask": _q_conv_loss_mask,
         "conv_truncate": _q_conv_truncate,
+        "conv_near_dup": _q_conv_near_dup,
+        "conv_turn_taking": _q_conv_turn_taking,
+        "conv_tool_flow": _q_conv_tool_flow,
         "text_vocab_topk": _q_text_vocab_topk,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -808,6 +836,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_pack": OX.conv_pack(tp),
         "conv_loss_mask": OX.conv_loss_mask(tp),
         "conv_truncate": OX.conv_truncate(tp),
+        "conv_near_dup": OX.conv_near_dup(tp),
+        "conv_turn_taking": OX.conv_turn_taking(tp),
+        "conv_tool_flow": OX.conv_tool_flow(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),

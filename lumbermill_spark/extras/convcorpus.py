@@ -19,6 +19,10 @@ TURN_SEP = "\n"
 BOILER_MIN_CONVS = 50  # a turn text seen in >= this many convs is boilerplate
 MASK_ROLES = ("heroku",)  # infrastructure/log turns carry no training loss
 CONV_TOKEN_BUDGET = 256  # ws-token context budget for truncate_to_budget
+CONV_DEDUP_PREFIX = 512  # rendered chars that participate in near-dup fingerprinting
+CONV_DUP_MOD = 13  # deterministic synthetic exact copies (gate recall)
+CONV_NEAR_MOD = 29  # deterministic synthetic near copies
+CONV_NEAR_HEADER = "variant: "  # prepended so the near copy differs INSIDE the prefix
 
 
 def render_conversations(df: DataFrame) -> DataFrame:
@@ -186,6 +190,114 @@ def truncate_to_budget(df: DataFrame, budget: int = CONV_TOKEN_BUDGET) -> DataFr
         F.sum(keep.cast("int")).cast("int").alias("kept_turns"),
         F.sum(F.when(keep, F.col("_tok")).otherwise(0)).cast("bigint").alias("kept_tokens"),
         F.max(F.col("_is_head") & ~F.col("_keep_sfx")).alias("head_resurrected"),
+    )
+
+
+def _conv_bucket(c) -> "F.Column":
+    """24-bit integer bucket from md5 of a string key — the cross-engine
+    string-hash trick (Spark conv(substr(md5(k),1,6),16,10) equals DuckDB
+    ('0x'||substring(md5(k),1,6))::BIGINT), used to pick deterministic
+    augmentation subsets of string-keyed conversations."""
+    return F.conv(F.substring(F.md5(c), 1, 6), 16, 10).cast("bigint")
+
+
+def augmented_conversations(df: DataFrame) -> DataFrame:
+    """Rendered conversations, prefix-capped for fingerprinting, plus
+    deterministic synthetic copies so the correctness gate exercises real
+    duplicate pairs (the transcript twin of dedup.augmented_docs): an EXACT
+    copy of every conversation whose md5 bucket hits CONV_DUP_MOD
+    (`<conv_id>~dup`), and a NEAR copy (CONV_NEAR_MOD, `<conv_id>~near`)
+    with a short header prepended so the perturbation lands INSIDE the
+    fingerprinted prefix and the pair verifies at Jaccard < 1.
+
+    The prefix cap is the scale story, not a test shortcut: near-duplicate
+    conversations share their opening turns (same system prompt, same first
+    exchange), so fingerprinting the head bounds per-document shingle cost
+    at 10^12 turns regardless of conversation length."""
+    r = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"),
+        F.substring("rendered", 1, CONV_DEDUP_PREFIX).alias("text"),
+    )
+    h = _conv_bucket(F.col("doc_id"))
+    exact = r.filter(h % CONV_DUP_MOD == 0).select(
+        F.concat("doc_id", F.lit("~dup")).alias("doc_id"), "text"
+    )
+    near = r.filter(h % CONV_NEAR_MOD == 0).select(
+        F.concat("doc_id", F.lit("~near")).alias("doc_id"),
+        F.substring(F.concat(F.lit(CONV_NEAR_HEADER), F.col("text")), 1, CONV_DEDUP_PREFIX).alias(
+            "text"
+        ),
+    )
+    return r.unionByName(exact).unionByName(near)
+
+
+def near_dup_conversations(df: DataFrame) -> DataFrame:
+    """Conversation-level near-duplicate detection: MinHash+LSH over the
+    prefix-capped rendered documents, reusing dedup.minhash_lsh_pairs
+    verbatim (banded signatures → equality-join candidates → estimate
+    pre-filter → exact shingle-Jaccard verification; string conv_id keys
+    band and compare identically on both engines). The rendered frame is
+    persisted across the three augmentation branches so render's conv_id
+    shuffle runs once, and released after the pair result materializes."""
+    from . import dedup
+
+    aug = augmented_conversations(df).persist()
+    try:
+        return dedup.minhash_lsh_pairs(aug)
+    finally:
+        aug.unpersist()
+
+
+def turn_taking(df: DataFrame) -> DataFrame:
+    """Per-conversation turn-taking QA report — the SFT-ingest validation
+    pass: turn_idx uniqueness and contiguity (dropped/duplicated turns),
+    consecutive same-role runs (a broken dialogue state machine), and the
+    opener role. One conv_id hash shuffle: the lag window and the fold both
+    ride it; per-group state is O(1)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("_prev_role"),
+    )
+    out = d.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("n_turns"),
+        F.countDistinct("turn_idx").cast("int").alias("n_distinct_idx"),
+        F.min("turn_idx").cast("int").alias("first_idx"),
+        F.max("turn_idx").cast("int").alias("last_idx"),
+        F.coalesce(
+            F.sum((F.col("role") == F.col("_prev_role")).cast("int")), F.lit(0)
+        ).cast("bigint").alias("role_repeats"),
+        F.min(F.struct("turn_idx", "role"))["role"].alias("opener_role"),
+    )
+    return out.withColumn(
+        "contiguous",
+        (F.col("n_distinct_idx") == F.col("n_turns"))
+        & (F.col("last_idx") - F.col("first_idx") + 1 == F.col("n_turns")),
+    )
+
+
+def tool_flow(df: DataFrame) -> DataFrame:
+    """Tool-call transition matrix: over each conversation's tool-bearing
+    turns in turn order, count (prev_tool → tool) transitions corpus-wide
+    and each transition's share of its prev_tool row. Agent-behavior
+    analytics: which tool follows which. Two bounded exchanges — the
+    conv_id lag window, then a map-side-combined (prev_tool, tool) count;
+    the share window runs on the already-tiny |tools|² aggregate."""
+    d = df.filter(F.col("conv_id").isNotNull() & F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = d.select(F.lag("tool").over(w).alias("prev_tool"), "tool")
+    out = (
+        d.filter(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_tool")
+    return out.withColumn(
+        "frac", F.round(F.col("n_transitions") / F.sum("n_transitions").over(wt), 12)
     )
 
 

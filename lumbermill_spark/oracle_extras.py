@@ -1047,6 +1047,72 @@ FROM s GROUP BY conv_id
 """
 
 
+def conv_near_dup(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.near_dup_conversations: rendered
+    conversations prefix-capped + deterministic ~dup/~near augmentation,
+    then the VERIFIED minhash CTE chain reused verbatim over string keys
+    (ASCII conv_ids compare identically in both engines)."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH rend AS (
+  SELECT conv_id AS doc_id, substring(rendered, 1, {CC.CONV_DEDUP_PREFIX}) AS text
+  FROM ({conv_render(transcripts_path)})),
+docs AS (
+  SELECT doc_id, text FROM rend
+  UNION ALL
+  SELECT doc_id || '~dup', text FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_DUP_MOD} = 0
+  UNION ALL
+  SELECT doc_id || '~near',
+    substring('{CC.CONV_NEAR_HEADER}' || text, 1, {CC.CONV_DEDUP_PREFIX})
+  FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_NEAR_MOD} = 0),
+{_minhash_cte()},
+{_minhash_pairs_cte()}
+SELECT doc_a, doc_b, sim FROM prs
+"""
+
+
+def conv_turn_taking(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
+    (NULL-skipping sum replays Spark's null-equality-skip on the first
+    turn; arg_min replays min(struct) under the unique-turn_idx contract)."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL)
+SELECT conv_id, count(*)::INT AS n_turns,
+  count(DISTINCT turn_idx)::INT AS n_distinct_idx,
+  min(turn_idx)::INT AS first_idx, max(turn_idx)::INT AS last_idx,
+  COALESCE(sum((role = prev_role)::INT), 0)::BIGINT AS role_repeats,
+  arg_min(role, turn_idx) AS opener_role,
+  (count(DISTINCT turn_idx) = count(*)
+   AND max(turn_idx) - min(turn_idx) + 1 = count(*)) AS contiguous
+FROM t GROUP BY conv_id
+"""
+
+
+def conv_tool_flow(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.tool_flow: per-conversation lag over
+    tool-bearing turns, global (prev_tool, tool) counts, 12-dp share."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool,
+    lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL AND tool IS NOT NULL),
+c AS (
+  SELECT prev_tool, tool, count(*)::BIGINT AS n_transitions
+  FROM t WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool)
+SELECT prev_tool, tool, n_transitions,
+  round(n_transitions / sum(n_transitions) OVER (PARTITION BY prev_tool), 12) AS frac
+FROM c
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

@@ -814,6 +814,120 @@ def test_conv_truncate_golden(spark):
     assert not c2["head_resurrected"]
 
 
+def test_conv_turn_taking_golden(spark):
+    """Contiguity, duplicate-idx, role-repeat, and opener semantics against
+    a hand computation (incl. a single-turn conv whose repeat sum is the
+    NULL-skip edge case)."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        # c1: clean alternation, contiguous 1..3
+        ("c1", 1, "user", "a", None, None),
+        ("c1", 2, "assistant", "b", None, None),
+        ("c1", 3, "user", "c", None, None),
+        # c2: duplicate turn_idx 1 and a same-role repeat
+        ("c2", 1, "user", "a", None, None),
+        ("c2", 1, "user", "b", None, None),
+        ("c2", 3, "assistant", "c", None, None),
+        # c3: single turn (repeat sum must be 0, not NULL)
+        ("c3", 5, "heroku", "z", None, None),
+        (None, 1, "user", "orphan", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r["conv_id"]: r for r in convcorpus.turn_taking(df).collect()}
+    assert set(out) == {"c1", "c2", "c3"}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_distinct_idx"], c1["role_repeats"]) == (3, 3, 0)
+    assert c1["contiguous"] and c1["opener_role"] == "user"
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["n_distinct_idx"]) == (3, 2)
+    assert not c2["contiguous"] and c2["role_repeats"] == 1
+    c3 = out["c3"]
+    assert (c3["n_turns"], c3["role_repeats"], c3["contiguous"]) == (1, 0, True)
+    assert (c3["first_idx"], c3["last_idx"]) == (5, 5)
+
+
+def test_conv_tool_flow_golden(spark):
+    """Transition counts and per-prev_tool shares; NULL-tool turns are
+    transparent (the lag skips over them by construction of the filter)."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        ("c1", 1, "user", "a", "bash", None),
+        ("c1", 2, "assistant", "b", None, None),  # toolless turn: invisible
+        ("c1", 3, "user", "c", "web", None),
+        ("c1", 4, "user", "d", "bash", None),
+        ("c2", 1, "user", "a", "bash", None),
+        ("c2", 2, "user", "b", "web", None),
+        (None, 1, "user", "x", "bash", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {(r["prev_tool"], r["tool"]): r for r in convcorpus.tool_flow(df).collect()}
+    # bash->web twice (c1 skipping the toolless turn, c2), web->bash once
+    assert set(out) == {("bash", "web"), ("web", "bash")}
+    assert out[("bash", "web")]["n_transitions"] == 2
+    assert out[("bash", "web")]["frac"] == 1.0
+    assert out[("web", "bash")]["n_transitions"] == 1
+    assert out[("web", "bash")]["frac"] == 1.0
+
+
+def test_conv_near_dup_golden(spark):
+    """Two genuinely identical conversations pair at sim 1.0; the
+    deterministic ~dup augmentation fires for a conv_id found by replaying
+    the md5 bucket in Python; the ~near copy verifies strictly below 1."""
+    import hashlib
+
+    from lumbermill_spark.extras import convcorpus
+
+    def bucket(cid):
+        return int(hashlib.md5(cid.encode()).hexdigest()[:6], 16)
+
+    # find ids hitting / missing the augmentation mods
+    dup_id = next(
+        f"d{i}"
+        for i in range(1000)
+        if bucket(f"d{i}") % convcorpus.CONV_DUP_MOD == 0
+        and bucket(f"d{i}") % convcorpus.CONV_NEAR_MOD != 0
+    )
+    near_id = next(
+        f"n{i}"
+        for i in range(1000)
+        if bucket(f"n{i}") % convcorpus.CONV_NEAR_MOD == 0
+        and bucket(f"n{i}") % convcorpus.CONV_DUP_MOD != 0
+    )
+    clean = [
+        f"c{i}"
+        for i in range(1000)
+        if bucket(f"c{i}") % convcorpus.CONV_DUP_MOD != 0
+        and bucket(f"c{i}") % convcorpus.CONV_NEAR_MOD != 0
+    ][:2]
+    long_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    long_b = "completely different content about distributed query planning " * 4
+    rows = []
+    for cid, txt in [
+        (clean[0], long_a),
+        (clean[1], long_a),  # genuine exact twin of clean[0]
+        (dup_id, long_b),
+        (near_id, long_a + " tail"),
+    ]:
+        rows += [(cid, 1, "user", txt[: len(txt) // 2], None, None),
+                 (cid, 2, "assistant", txt[len(txt) // 2 :], None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["sim"] for r in
+             convcorpus.near_dup_conversations(df).collect()}
+    key = tuple(sorted(clean))
+    assert pairs[key] == 1.0
+    assert pairs[(dup_id, f"{dup_id}~dup")] == 1.0
+    near_key = (near_id, f"{near_id}~near")
+    assert near_key in pairs and 0.7 <= pairs[near_key] < 1.0
+
+
 def test_vocab_topk_golden(spark):
     """Hand-checked coverage table with a tie (b and c both 2, token-asc
     tie-break) and K smaller than the vocabulary."""
