@@ -388,3 +388,58 @@ def test_ivfpq_scan_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_conv_mask_truncate_taking_single_conv_exchange(spark):
+    """loss_mask_spans / truncate_to_budget / turn_taking each cost exactly
+    the conv_id exchanges their windows need — no Python, no join, no
+    global partition; the window partition spec carries conv_id."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    for op, max_exch in (
+        (convcorpus.loss_mask_spans, 1),
+        (convcorpus.truncate_to_budget, 2),  # window exchange reused; agg may re-hash
+        (convcorpus.turn_taking, 2),  # distinct-agg expand adds one
+    ):
+        plan = _plan(op(df))
+        assert "Python" not in plan, op.__name__
+        assert "Join" not in plan, op.__name__
+        assert "Exchange SinglePartition" not in plan, op.__name__
+        assert plan.count("Exchange hashpartitioning") <= max_exch, op.__name__
+        assert "hashpartitioning(conv_id" in plan, op.__name__
+
+
+def test_conv_tool_flow_windows_stay_partitioned(spark):
+    """The transition share window must run partitioned by prev_tool on the
+    already-aggregated table — never a single-partition global window."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "t", "bash", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(convcorpus.tool_flow(df))
+    assert "Python" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(conv_id" in plan
+    assert "hashpartitioning(prev_tool" in plan
+
+
+def test_conv_near_dup_blocking_never_cross_joins(spark):
+    """Conversation near-dup inherits the minhash candidate contract: the
+    band join is an equality join — no cartesian/nested-loop stage."""
+    from lumbermill_spark.extras import convcorpus, dedup
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "some longer shingle-worthy text here", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    aug = convcorpus.augmented_conversations(df)
+    plan = _plan(dedup.minhash_lsh_pairs(aug, materialize=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
