@@ -273,6 +273,17 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return similarity.topk_ivf(_embeds(spark, sf_dir))
 
 
+def _q_sim_pca_project(spark, sf_dir):
+    """PCA dimensionality reduction from the persisted offline-trained
+    model (mean + top-8 components): every embedding projected relationally
+    via broadcast, zero shuffle; train→persist→project all under the
+    value-exact gate."""
+    from lumbermill_spark.extras import similarity
+
+    model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
+    return similarity.project_pca(_embeds(spark, sf_dir), model)
+
+
 def _q_sim_ivf_trained(spark, sf_dir):
     """IVF ANN against the PERSISTED trained quantizer (offline spherical
     k-means, seeded): the artifact parquet is the contract both this query
@@ -697,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_pca_project": _q_sim_pca_project,
         "sim_ivf_trained": _q_sim_ivf_trained,
         "sim_pq_topk": _q_sim_pq_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
@@ -793,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         # ensure_trained_centroids is sessionless (numpy) so the artifact
         # exists regardless of whether the oracle or the query runs first
         "sim_ivf_trained": OX.sim_ivf_trained(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
+        "sim_pca_project": OX.sim_pca_project(_SIM.ensure_pca_model(SF_ORACLE_DIR)),
         "sim_pq_topk": OX.sim_pq_topk(_SIM.ensure_pq_codebooks(SF_ORACLE_DIR)),
         "sim_ivfpq_topk": OX.sim_ivfpq_topk(
             _SIM.ensure_trained_centroids(SF_ORACLE_DIR),

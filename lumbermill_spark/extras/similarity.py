@@ -619,3 +619,106 @@ def topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (offline-trained dimensionality reduction before ANN)
+#
+# Standard embedding-pipeline stage: train a PCA basis offline on (a sample
+# of) the corpus, persist it as an artifact, and project every vector
+# relationally at serving time — the projection is a broadcast of d_out+1
+# tiny rows against the vector stream, zero shuffle. The artifact parquet
+# (j int32, w array<double>; row j=-1 carries the column mean) is read by
+# BOTH the Spark query and the DuckDB oracle, so the driver's value-exact
+# gate covers the full train→persist→project path.
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 8  # output dimensionality of the offline PCA projector
+
+
+def train_pca_offline(vectors, d_out: int = PCA_DIM):
+    """Byte-deterministic PCA: mean-center, thin SVD, top-d_out right
+    singular vectors. Component SIGN is fixed (largest-|loading| entry made
+    positive) so the artifact is unique up to arithmetic, not up to SVD
+    sign convention. Cross-engine correctness does not depend on numpy
+    determinism anyway — both engines read the persisted artifact.
+    Returns (mu, W): mu (dim,), W (d_out, dim) float64."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    mu = X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
+    W = Vt[:d_out].copy()
+    for j in range(len(W)):
+        if W[j, int(np.argmax(np.abs(W[j])))] < 0:
+            W[j] = -W[j]
+    return mu, W
+
+
+def pca_model_path(sf_dir: str) -> str:
+    """Content-fingerprinted cache path (same keying rule as
+    centroids_path: md5 of the embeddings file bytes)."""
+    import hashlib
+    import os
+
+    from .. import datagen
+
+    h = hashlib.md5()
+    with open(os.path.join(sf_dir, "embeddings.parquet"), "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            h.update(block)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(
+        datagen.data_dir(), "pca_model_%s_%s.parquet" % (tag, h.hexdigest()[:12])
+    )
+
+
+def ensure_pca_model(sf_dir: str) -> str:
+    """Train (offline, deterministic) and persist the PCA model for an
+    sf_dir's embeddings: parquet (j int32, w array<double>) with row j=-1
+    holding the mean and rows 0..PCA_DIM-1 the components."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import datagen
+
+    p = pca_model_path(sf_dir)
+    if os.path.exists(p):
+        return p
+    import numpy as np
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    X = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    mu, W = train_pca_offline(X)
+    rows = [(-1, [float(x) for x in mu])] + [
+        (j, [float(x) for x in W[j]]) for j in range(len(W))
+    ]
+    tbl = pa.table(
+        {
+            "j": pa.array([r[0] for r in rows], type=pa.int32()),
+            "w": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+        }
+    )
+    datagen._write_atomic(tbl, p)
+    return p
+
+
+def project_pca(embeddings: DataFrame, model: DataFrame) -> DataFrame:
+    """Project every embedding onto the offline-trained PCA basis, long
+    format (vec_id, j, comp) with comp = round(Σ_i w_ji·(v_i − mu_i), 6).
+    The model (PCA_DIM+1 rows) broadcasts twice (mean, then components);
+    the centered vector folds IN ORDER (dot_expr) so both engines sum
+    float64 identically. Zero shuffle: the vector stream never moves."""
+    e = _vecs(embeddings)
+    mu = model.filter(F.col("j") == -1).select(F.col("w").alias("mu"))
+    comps = model.filter(F.col("j") >= 0).select(
+        F.col("j").cast("int").alias("j"), "w"
+    )
+    centered = e.join(F.broadcast(mu)).select(
+        "vec_id", F.zip_with("v", "mu", lambda x, y: x - y).alias("cv")
+    )
+    return centered.join(F.broadcast(comps)).select(
+        "vec_id", "j", F.round(dot_expr(F.col("cv"), F.col("w")), 6).alias("comp")
+    )

@@ -1113,6 +1113,20 @@ FROM c
 """
 
 
+def sim_pca_project(model_path: str) -> str:
+    """Replay of extras.similarity.project_pca from the SAME persisted
+    artifact: center by the j=-1 mean row, in-order product sum per
+    component, 6-dp round (the verified list_sum ↔ ordered-fold pattern)."""
+    return f"""
+WITH mu AS (SELECT w AS m FROM read_parquet('{model_path}') WHERE j = -1),
+c AS (SELECT j::INT AS j, w FROM read_parquet('{model_path}') WHERE j >= 0),
+e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings)
+SELECT e.vec_id, c.j,
+  round(list_sum([(e.v[i] - mu.m[i]) * c.w[i] FOR i IN range(1, len(c.w) + 1)]), 6) AS comp
+FROM e CROSS JOIN mu CROSS JOIN c
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

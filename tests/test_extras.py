@@ -1248,3 +1248,32 @@ def test_ivfpq_candidates_respect_probed_cells(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_pca_projection_matches_numpy(spark, tmp_path):
+    """Trainer invariants (unit-norm, orthogonal, sign-fixed components)
+    and the Spark projection equals the numpy projection to 6 dp."""
+    import numpy as np
+
+    from lumbermill_spark.extras import similarity
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 12))
+    mu, W = similarity.train_pca_offline(X, d_out=4)
+    assert np.allclose(np.linalg.norm(W, axis=1), 1.0)
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-9)
+    for j in range(4):
+        assert W[j, int(np.argmax(np.abs(W[j])))] > 0  # sign convention
+    exp = np.round((X - mu) @ W.T, 6)
+
+    rows = [(-1, [float(x) for x in mu])] + [(j, [float(x) for x in W[j]]) for j in range(4)]
+    model = spark.createDataFrame(rows, "j int, w array<double>")
+    e = spark.createDataFrame(
+        [(i, "l", [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {(r["vec_id"], r["j"]): r["comp"] for r in
+           similarity.project_pca(e, model).collect()}
+    for i in range(len(X)):
+        for j in range(4):
+            assert got[(i, j)] == exp[i, j], (i, j)

@@ -443,3 +443,17 @@ def test_conv_near_dup_blocking_never_cross_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_pca_projection_never_shuffles(spark):
+    """The PCA projection is broadcast-only over the vector stream: no
+    Exchange of any kind, no sort-merge join, no Python."""
+    from lumbermill_spark.extras import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(similarity.project_pca(e, model))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
