@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_ORACLE_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+DATACARD_GATE_WEIGHTS = (0.8, 0.1, 0.1)  # flatter than prod so leakage fires
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +481,20 @@ def _q_corpus_split(spark, sf_dir):
     return textstats.corpus_split(_docs(spark, sf_dir))
 
 
+def _q_corpus_datacard(spark, sf_dir):
+    """Per-(lang, split) data card: docs, tokens, exact percentiles, mean
+    quality, duplicate docs, and cross-split leakage — one fused plan. Runs
+    on the augmented corpus with a flatter 80/10/10 split (the dedup-query
+    and gopher-grid precedent) so the duplicate AND leakage columns both
+    carry non-zero values under the gate — at the production 98/1/1 weights
+    a small corpus leaks with probability ~0.02 per duplicate pair."""
+    from lumbermill_spark.extras import dedup, textstats
+
+    return textstats.corpus_datacard(
+        dedup.augmented_docs(_docs(spark, sf_dir)), weights=DATACARD_GATE_WEIGHTS
+    )
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-(lang, source) corpus report card: counts, char/token totals,
     exact p50/p95 char lengths."""
@@ -731,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         "corpus_split": _q_corpus_split,
         "corpus_stats": _q_corpus_stats,
+        "corpus_datacard": _q_corpus_datacard,
         "text_pack_shuffled": _q_text_pack_shuffled,
         "text_pack_sequences": _q_text_pack_sequences,
         "corpus_take_stratified": _q_corpus_take_stratified,
@@ -830,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": OX.text_unigram_logprob(UNIGRAM_GATE_K),
         "corpus_split": OX.corpus_split(),
         "corpus_stats": OX.corpus_stats(),
+        "corpus_datacard": OX.corpus_datacard(weights=DATACARD_GATE_WEIGHTS),
         "text_pack_shuffled": OX.text_pack_shuffled(),
         "text_pack_sequences": OX.text_pack_sequences(),
         "corpus_take_stratified": OX.corpus_take_stratified(),

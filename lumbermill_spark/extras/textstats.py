@@ -1761,3 +1761,63 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.alias("keep"),
         F.array_join(F.col("_kept"), "\n").alias("clean_text"),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    weights: tuple[float, float, float] = DEFAULT_SPLIT_WEIGHTS,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """The per-(lang, split) shipping report — the "data card" a corpus
+    release carries — fused into ONE plan over one scan: split assignment
+    (corpus_split's integer hash cutoffs, inlined so there is no join),
+    duplicate and CROSS-SPLIT-LEAKAGE flags from one fingerprint window,
+    then per-(lang, split) rollups: docs, ws tokens, exact p50/p95 chars,
+    mean quality, duplicate docs, leaked docs. leaked_docs counts documents
+    whose normalized fingerprint also appears in a DIFFERENT split — the
+    train/test contamination figure every release report quotes.
+
+    Cross-engine float discipline: quality_score is 6-dp rounded per doc,
+    so ×1e6 it is an exact integer — the group mean is an exact bigint sum
+    and one fixed division chain, never an order-dependent float64 sum.
+    Scale shape: exactly two exchanges at any corpus size (the fingerprint
+    window, then the (lang, split) aggregate); the leakage test is
+    min(split) ≠ max(split) over the fingerprint partition, O(1) state."""
+    w_train, w_val, w_test = weights
+    if abs(w_train + w_val + w_test - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    d = with_quality(df).select(
+        "lang",
+        F.when(h < cut1, F.lit("train"))
+        .when(h < cut2, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        ws_token_count(F.col("text")).alias("_nt"),
+        F.length("text").alias("_len"),
+        F.round(F.col("quality_score") * 1e6, 0).cast("bigint").alias("_q6"),
+        fingerprint(F.col("text")).alias("_fp"),
+    )
+    wfp = Window.partitionBy("_fp")
+    d = d.select(
+        "lang",
+        "split",
+        "_nt",
+        "_len",
+        "_q6",
+        (F.count("*").over(wfp) > 1).alias("_dup"),
+        (F.min("split").over(wfp) != F.max("split").over(wfp)).alias("_leak"),
+    )
+    return d.groupBy("lang", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("total_ws_tokens"),
+        F.round(F.expr("percentile(_len, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(_len, 0.95)"), 6).alias("p95_chars"),
+        F.round(F.sum("_q6") / F.count("*") / F.lit(1000000.0), 6).alias("avg_quality"),
+        F.sum(F.col("_dup").cast("int")).cast("bigint").alias("dup_docs"),
+        F.sum(F.col("_leak").cast("int")).cast("bigint").alias("leaked_docs"),
+    )

@@ -1127,6 +1127,54 @@ FROM e CROSS JOIN mu CROSS JOIN c
 """
 
 
+def corpus_datacard(weights=TS.DEFAULT_SPLIT_WEIGHTS) -> str:
+    """Replay of extras.textstats.corpus_datacard: inlined split hash,
+    fingerprint-window dup/leak flags, per-(lang, split) rollups. The mean
+    quality replays the e6-integer trick so the group sum is exact."""
+    w_train, w_val, _ = weights
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    length = "greatest(length(text), 1)::DOUBLE"
+    ntok_raw = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    ntok = f"greatest({ntok_raw}, 1)::DOUBLE"
+    alpha = f"len(regexp_extract_all(text, '{TS.ALPHA_PAT}')) / {length}"
+    punct = f"len(regexp_extract_all(text, '{TS.PUNCT_PAT}')) / {length}"
+    stop = f"least(len(regexp_extract_all(lower(text), '{TS.stopword_pat('en')}'))::DOUBLE / {ntok}, 1.0)"
+    score = (
+        f"0.25 * ({alpha}) + 0.25 * (1.0 - least(({punct}) * 4.0, 1.0))"
+        f" + 0.25 * ({stop}) + 0.25 * least({ntok} / 100.0, 1.0)"
+    )
+    return f"""
+WITH {AUG_DOCS},
+b AS (
+  SELECT lang,
+    CASE WHEN {_split_hash(TS.SPLIT_SALT)} < {cut1} THEN 'train'
+         WHEN {_split_hash(TS.SPLIT_SALT)} < {cut2} THEN 'val'
+         ELSE 'test' END AS split,
+    {ntok_raw} AS nt,
+    length(text) AS len,
+    round(round({score}, 6) * 1000000, 0)::BIGINT AS q6,
+    {FINGERPRINT} AS fp
+  FROM docs),
+w AS (
+  SELECT lang, split, nt, len, q6,
+    count(*) OVER (PARTITION BY fp) > 1 AS dup,
+    min(split) OVER (PARTITION BY fp) <> max(split) OVER (PARTITION BY fp) AS leak
+  FROM b)
+SELECT lang, split,
+  count(*)::BIGINT AS n_docs,
+  sum(nt)::BIGINT AS total_ws_tokens,
+  round(quantile_cont(len, 0.5), 6) AS p50_chars,
+  round(quantile_cont(len, 0.95), 6) AS p95_chars,
+  round(sum(q6) / count(*) / 1000000.0, 6) AS avg_quality,
+  sum(dup::INT)::BIGINT AS dup_docs,
+  sum(leak::INT)::BIGINT AS leaked_docs
+FROM w GROUP BY lang, split
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

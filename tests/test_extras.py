@@ -1277,3 +1277,44 @@ def test_pca_projection_matches_numpy(spark, tmp_path):
     for i in range(len(X)):
         for j in range(4):
             assert got[(i, j)] == exp[i, j], (i, j)
+
+
+def test_corpus_datacard_golden(spark):
+    """Dup/leak flags and the exact-integer mean-quality path against a
+    hand computation: two identical docs placed in different splits (found
+    by replaying the split hash in Python) must count as duplicates AND
+    leaks in both their groups."""
+    import hashlib
+
+    from lumbermill_spark.extras import textstats
+
+    weights = (0.5, 0.25, 0.25)
+    cut1, cut2 = int(0.5 * (1 << 32)), int(0.75 * (1 << 32))
+
+    def split_of(doc_id):
+        h = int(
+            hashlib.md5(f"{textstats.SPLIT_SALT}:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return "train" if h < cut1 else ("val" if h < cut2 else "test")
+
+    ids = list(range(200))
+    a = next(i for i in ids if split_of(i) == "train")
+    b = next(i for i in ids if split_of(i) == "val")
+    c = next(i for i in ids if split_of(i) == "test" and i not in (a, b))
+    dup_text = "the shared duplicated document text appears twice here"
+    rows = [
+        (a, dup_text, "en"),
+        (b, dup_text.upper(), "en"),  # same normalized fingerprint, other split
+        (c, "a unique document with its own content entirely", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["split"]: r for r in
+           textstats.corpus_datacard(df, weights=weights).collect()}
+    assert out["train"]["dup_docs"] == 1 and out["train"]["leaked_docs"] == 1
+    assert out["val"]["dup_docs"] == 1 and out["val"]["leaked_docs"] == 1
+    assert out["test"]["dup_docs"] == 0 and out["test"]["leaked_docs"] == 0
+    assert out["test"]["n_docs"] == 1
+    # mean quality of a single doc equals its 6-dp quality score exactly
+    q = {r["doc_id"]: r["quality_score"] for r in
+         textstats.with_quality(df).collect()}
+    assert out["test"]["avg_quality"] == q[c]

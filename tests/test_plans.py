@@ -457,3 +457,16 @@ def test_pca_projection_never_shuffles(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_corpus_datacard_two_exchanges_no_python(spark):
+    """The fused data card costs exactly two exchanges (fingerprint window,
+    (lang, split) aggregate) — no join, no Python, no global partition."""
+    from lumbermill_spark.extras import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.corpus_datacard(docs))
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
