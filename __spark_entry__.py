@@ -672,6 +672,15 @@ def _q_conv_tool_flow(spark, sf_dir):
     return convcorpus.tool_flow(_transcripts(spark, sf_dir))
 
 
+def _q_text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING: the first 8 learned merges (Sennrich 2016)
+    over the corpus word table — iterative pair-count rounds, greedy
+    non-overlap merge application, one driver row per round."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.bpe_merges(_docs(spark, sf_dir))
+
+
 def _q_text_vocab_topk(spark, sf_dir):
     """Tokenizer vocabulary induction: top-K token table with corpus
     coverage (rank, count, frac, cum_frac)."""
@@ -770,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
         "text_vocab_topk": _q_text_vocab_topk,
+        "text_bpe_merges": _q_text_bpe_merges,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -870,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
+        "text_bpe_merges": OX.text_bpe_merges(),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

@@ -1821,3 +1821,93 @@ def corpus_datacard(
         F.sum(F.col("_dup").cast("int")).cast("bigint").alias("dup_docs"),
         F.sum(F.col("_leak").cast("int")).cast("bigint").alias("leaked_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — tokenizer TRAINING, not just application: the
+# Sennrich et al. 2016 algorithm (learn the N highest-frequency adjacent
+# symbol-pair merges over a word-frequency table) re-expressed relationally.
+#
+# Scale shape: corpus-size work happens ONCE (the word-count aggregate);
+# every merge round then runs on the DISTINCT-WORD symbol table — bounded
+# by vocabulary size × avg word length, not corpus size — as one pair-count
+# aggregate (map-side combined, weighted by word count) plus word-partitioned
+# window passes that apply the merge with exact greedy left-to-right
+# non-overlap semantics. The only driver traffic is ONE row per round (the
+# winning pair). Each round's symbol table is eagerly localCheckpoint-ed so
+# round r+1 reads a materialized table instead of re-deriving r rounds of
+# lineage.
+#
+# Greedy non-overlap without a sequential scan: candidate positions (sym=L,
+# next=R) can only be ADJACENT when L == R (an 'aaaa' run); within each
+# maximal run of consecutive candidates, greedy keeps the candidates at
+# EVEN offset from the run head. run id = pos − row_number-among-candidates
+# (constant inside a run), run head = min(candidate pos) per run — two
+# windows, exactly replayable in SQL.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_EOW = "</w>"  # end-of-word marker, merged like any other symbol
+
+
+def bpe_merges(df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text") -> DataFrame:
+    """Learn the first n_merges BPE merges from the corpus: (round,
+    left_sym, right_sym, pair_count, token). Ties break (count DESC, left
+    ASC, right ASC) — deterministic on both engines (ASCII byte order)."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+    )
+    chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    syms = words.select(
+        "w", "wc", F.posexplode(F.expr(f"concat({chars}, array('{BPE_EOW}'))")).alias("pos", "sym")
+    ).localCheckpoint(eager=True)
+
+    w_seq = Window.partitionBy("w").orderBy("pos")
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        p = syms.withColumn("nxt", F.lead("sym").over(w_seq))
+        best = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        L, R, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
+        merges.append((rnd, L, R, cnt, L + R))
+        c = p.withColumn("cand", (F.col("sym") == L) & (F.col("nxt") == R))
+        c = c.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("w", "cand").orderBy("pos"))
+        )
+        c = c.withColumn("grp", F.when(F.col("cand"), F.col("pos") - F.col("rn")))
+        c = c.withColumn(
+            "run_start",
+            F.min(F.when(F.col("cand"), F.col("pos"))).over(Window.partitionBy("w", "grp")),
+        )
+        c = c.withColumn(
+            "kept", F.col("cand") & (((F.col("pos") - F.col("run_start")) % 2) == 0)
+        )
+        c = c.withColumn("consumed", F.coalesce(F.lag("kept").over(w_seq), F.lit(False)))
+        ns = c.filter(~F.col("consumed")).select(
+            "w",
+            "wc",
+            "pos",
+            F.when(F.col("kept"), F.lit(L + R)).otherwise(F.col("sym")).alias("sym"),
+        )
+        nxt_syms = ns.select(
+            "w", "wc", (F.row_number().over(w_seq) - 1).alias("pos"), "sym"
+        ).localCheckpoint(eager=True)
+        syms.unpersist()
+        syms = nxt_syms
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count bigint, token string"
+    )

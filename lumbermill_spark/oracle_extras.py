@@ -1175,6 +1175,53 @@ FROM w GROUP BY lang, split
 """
 
 
+def text_bpe_merges() -> str:
+    """Replay of extras.textstats.bpe_merges: the merge ROUNDS are unrolled
+    into one SQL chain (each round = pair-count CTE → best-pair CTE →
+    greedy-parity merge CTEs), so the whole iterative training run is a
+    single data-dependent query — no Python state anywhere. The greedy
+    left-to-right non-overlap is the same run-parity construction the Spark
+    side uses (run id = pos − row_number-among-candidates)."""
+    n = TS.BPE_MERGES
+    eow = TS.BPE_EOW
+    sql = f"""
+WITH w0 AS (
+  SELECT w, count(*)::BIGINT AS wc FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, wc, i - 1 AS pos,
+    CASE WHEN i <= length(w) THEN w[i] ELSE '{eow}' END AS sym
+  FROM w0, unnest(generate_series(1, length(w) + 1)) AS t(i))"""
+    # every round CTE is MATERIALIZED: the chain is referenced repeatedly
+    # (p by b and c, b by the final union, s by the next round) and DuckDB
+    # would otherwise re-inline and re-evaluate the whole prefix per
+    # reference — measured 32 s vs ~1 s at sf0.01.
+    for r in range(1, n + 1):
+        sql += f""",
+p{r} AS MATERIALIZED (SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s{r - 1}),
+b{r} AS MATERIALIZED (SELECT sym AS l, nxt AS rr, sum(wc)::BIGINT AS cnt FROM p{r}
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt ORDER BY cnt DESC, l, rr LIMIT 1),
+c{r} AS (SELECT p.*, (p.sym = b.l AND p.nxt = b.rr) AS cand, b.l AS bl, b.rr AS br
+  FROM p{r} p CROSS JOIN b{r} b),
+g{r} AS (SELECT *, CASE WHEN cand THEN pos - row_number()
+    OVER (PARTITION BY w, cand ORDER BY pos) END AS grp FROM c{r}),
+h{r} AS (SELECT *, min(CASE WHEN cand THEN pos END)
+    OVER (PARTITION BY w, grp) AS run_start FROM g{r}),
+k{r} AS (SELECT *, cand AND ((pos - run_start) % 2 = 0) AS kept FROM h{r}),
+q{r} AS (SELECT *, COALESCE(lag(kept) OVER (PARTITION BY w ORDER BY pos), FALSE)
+    AS consumed FROM k{r}),
+s{r} AS MATERIALIZED (SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+    CASE WHEN kept THEN bl || br ELSE sym END AS sym
+  FROM q{r} WHERE NOT consumed)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, l AS left_sym, rr AS right_sym, cnt AS pair_count,"
+        f" l || rr AS token FROM b{r}"
+        for r in range(1, n + 1)
+    )
+    return sql + "\n" + unions
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

@@ -1318,3 +1318,53 @@ def test_corpus_datacard_golden(spark):
     q = {r["doc_id"]: r["quality_score"] for r in
          textstats.with_quality(df).collect()}
     assert out["test"]["avg_quality"] == q[c]
+
+
+def test_bpe_merges_golden(spark):
+    """The relational BPE trainer equals an independent pure-Python
+    Sennrich-style implementation round for round, including the greedy
+    left-to-right non-overlap on 'aaaa'-style runs and the EOW symbol."""
+    import collections
+    import re
+
+    from lumbermill_spark.extras import textstats
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "thematic theme",
+        "aaaa aaa baaab",  # candidate RUNS: parity rule must fire
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"], r["token"])
+        for r in textstats.bpe_merges(df, n_merges=6).collect()
+    ]
+
+    words = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+    )
+    vocab = {tuple(list(w) + [textstats.BPE_EOW]): c for w, c in words.items()}
+    exp = []
+    for rnd in range(1, 7):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (L, R), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        exp.append((rnd, L, R, cnt, L + R))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == L and syms[i + 1] == R:
+                    out.append(L + R)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == exp
