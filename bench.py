@@ -174,7 +174,19 @@ def main() -> None:
     timed("conv_curate", lambda: noopw(convcorpus.curate_conversations(df)))
     timed("conv_pack", lambda: noopw(convcorpus.pack_conversations(df)))
     timed("conv_prepare", lambda: noopw(convcorpus.prepare_conversations(df)))
+    timed("conv_loss_mask", lambda: noopw(convcorpus.loss_mask_spans(df)))
+    timed("conv_truncate", lambda: noopw(convcorpus.truncate_to_budget(df)))
+    timed("conv_turn_taking", lambda: noopw(convcorpus.turn_taking(df)))
+    timed("conv_tool_flow", lambda: noopw(convcorpus.tool_flow(df)))
+    timed("conv_near_dup", lambda: noopw(convcorpus.near_dup_conversations(df)))
     timed("text_vocab_topk", lambda: noopw(textstats.vocab_topk(docs)))
+    pca_model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
+    timed("sim_pca_project", lambda: noopw(similarity.project_pca(embeds, pca_model)))
+    timed("corpus_datacard", lambda: noopw(textstats.corpus_datacard(dedup.augmented_docs(docs))))
+    # tokenizer training is the one iterative op: 8 driver-coordinated
+    # rounds — a single run is representative (each round is itself many
+    # tasks), three would dominate the bench wall
+    timed("text_bpe_merges", lambda: textstats.bpe_merges(docs).collect(), runs=1)
 
     from lumbermill_spark import frames as frames_mod
 
