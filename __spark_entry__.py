@@ -672,6 +672,26 @@ def _q_conv_tool_flow(spark, sf_dir):
     return convcorpus.tool_flow(_transcripts(spark, sf_dir))
 
 
+def _q_text_memorization(spark, sf_dir):
+    """Memorization-risk scan: per held-out doc, the fraction of its
+    distinct 8-gram shingles already present in the train split (digest-
+    keyed shuffle join — both sides corpus-sized). Gate runs the augmented
+    corpus at the flatter 80/10/10 split so seen_frac is non-zero."""
+    from lumbermill_spark.extras import dedup, textstats
+
+    return textstats.memorization_scan(
+        dedup.augmented_docs(_docs(spark, sf_dir)), weights=DATACARD_GATE_WEIGHTS
+    )
+
+
+def _q_conv_bpe(spark, sf_dir):
+    """BPE tokenizer trained on rendered conversations (the transcript
+    corpus's own tokenizer)."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_text_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING: the first 8 learned merges (Sennrich 2016)
     over the corpus word table — iterative pair-count rounds, greedy
@@ -780,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_flow": _q_conv_tool_flow,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
+        "text_memorization": _q_text_memorization,
+        "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
@@ -881,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
+        "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
+        "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),

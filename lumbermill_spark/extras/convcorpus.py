@@ -301,6 +301,20 @@ def tool_flow(df: DataFrame) -> DataFrame:
     )
 
 
+def bpe_conversations(df: DataFrame) -> DataFrame:
+    """Tokenizer training ON TRANSCRIPTS: render each conversation and run
+    BPE merge induction (textstats.bpe_merges) over the rendered documents
+    — the tokenizer a transcript corpus would actually ship. The rendered
+    frame is the trainer's only corpus-size input; every merge round runs
+    on the distinct-word symbol table."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.bpe_merges(rendered)
+
+
 def prepare_conversations(df: DataFrame) -> DataFrame:
     """Transcript-axis twin of textstats.corpus_prepare: render each
     conversation, then run the fused preparation plan (curation signals +

@@ -1911,3 +1911,64 @@ def bpe_merges(df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint, token string"
     )
+
+
+MEMO_SHINGLE_W = 8  # word n-gram width for the memorization scan
+
+
+def memorization_scan(
+    df: DataFrame,
+    weights: tuple[float, float, float] = DEFAULT_SPLIT_WEIGHTS,
+    salt: str = SPLIT_SALT,
+    w: int = MEMO_SHINGLE_W,
+) -> DataFrame:
+    """Memorization-risk / cross-split n-gram NOVELTY scan: for every
+    held-out (val/test) document, the fraction of its distinct w-token
+    shingles that already occur in ANY train-split document. High seen_frac
+    means the eval example is effectively memorized by the training set —
+    the novelty audit run before trusting held-out loss. Complements
+    decontaminate (which protects external benchmarks and can broadcast the
+    tiny side): here BOTH sides come from the corpus, so the hit test is a
+    digest-keyed equality shuffle join — at 10^12 turns the train shingle
+    set is far beyond broadcast range, and md5 digests keep the shuffle key
+    fixed-width (32 bytes) regardless of shingle text.
+
+    Output: one row per held-out doc — (doc_id, split, n_shingles, n_seen,
+    seen_frac 6 dp)."""
+    w_train, w_val, w_test = weights
+    if abs(w_train + w_val + w_test - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    cut1 = int(w_train * (1 << 32))
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    cut2 = int((w_train + w_val) * (1 << 32))
+    d = df.select(
+        "doc_id",
+        F.when(h < cut1, F.lit("train"))
+        .when(h < cut2, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        _ws_shingles(F.col("text"), w).alias("_sh"),
+    )
+    sh = d.select(
+        "doc_id", "split", F.explode("_sh").alias("s")
+    ).filter(F.col("s") != "").withColumn("dig", F.md5("s")).drop("s")
+    train_digs = sh.filter(F.col("split") == "train").select("dig").distinct()
+    held = sh.filter(F.col("split") != "train")
+    hits = (
+        held.join(train_digs, "dig")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("dig").cast("bigint").alias("n_seen"))
+    )
+    per_doc = held.groupBy("doc_id", "split").agg(
+        F.countDistinct("dig").cast("bigint").alias("n_shingles")
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .withColumn("n_seen", F.coalesce(F.col("n_seen"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "seen_frac",
+            F.round(F.col("n_seen") / F.greatest(F.col("n_shingles"), F.lit(1)), 6),
+        )
+    )

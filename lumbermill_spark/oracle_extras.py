@@ -1222,6 +1222,61 @@ s{r} AS MATERIALIZED (SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY p
     return sql + "\n" + unions
 
 
+def text_memorization(weights=None) -> str:
+    """Replay of extras.textstats.memorization_scan over the AUGMENTED
+    corpus (exact/near copies land in other splits, so the hit path
+    actually fires under the gate): split hash, distinct w-token shingles
+    (the decontaminate formulation), md5 digests, held-out hit counts
+    against the train digest set."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    w = TSX.MEMO_SHINGLE_W
+    w_train, w_val, _ = weights or TSX.DEFAULT_SPLIT_WEIGHTS
+    cut1 = int(w_train * (1 << 32))
+    cut2 = int((w_train + w_val) * (1 << 32))
+    return f"""
+WITH {AUG_DOCS},
+tok AS (
+  SELECT doc_id,
+    CASE WHEN {_split_hash(TSX.SPLIT_SALT)} < {cut1} THEN 'train'
+         WHEN {_split_hash(TSX.SPLIT_SALT)} < {cut2} THEN 'val'
+         ELSE 'test' END AS split,
+    regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM docs),
+sh0 AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(ts) >= {w}
+      THEN [array_to_string(ts[i:i+{w - 1}], ' ') FOR i IN range(1, len(ts) - {w - 2})]
+      ELSE [array_to_string(ts, ' ')] END)) AS s
+  FROM tok),
+sh AS (SELECT doc_id, split, md5(s) AS dig FROM sh0 WHERE s <> ''),
+train_digs AS (SELECT DISTINCT dig FROM sh WHERE split = 'train'),
+held AS (SELECT * FROM sh WHERE split <> 'train'),
+hits AS (
+  SELECT h.doc_id, count(DISTINCT h.dig)::BIGINT AS n_seen
+  FROM held h JOIN train_digs USING (dig) GROUP BY h.doc_id),
+per_doc AS (
+  SELECT doc_id, split, count(DISTINCT dig)::BIGINT AS n_shingles
+  FROM held GROUP BY doc_id, split)
+SELECT p.doc_id, p.split, p.n_shingles,
+  coalesce(h.n_seen, 0)::BIGINT AS n_seen,
+  round(coalesce(h.n_seen, 0) / greatest(p.n_shingles, 1), 6) AS seen_frac
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def conv_bpe(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.bpe_conversations: the documents view is
+    shadowed by the rendered-conversations CTE and the verified unrolled
+    BPE chain is reused verbatim."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({text_bpe_merges()})
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

@@ -1368,3 +1368,51 @@ def test_bpe_merges_golden(spark):
             nv[tuple(out)] = nv.get(tuple(out), 0) + c
         vocab = nv
     assert got == exp
+
+
+def test_memorization_scan_golden(spark):
+    """A held-out exact copy of a train doc reads seen_frac 1.0; a novel
+    held-out doc reads 0.0 — split membership replayed in Python."""
+    import hashlib
+
+    from lumbermill_spark.extras import textstats
+
+    weights = (0.5, 0.25, 0.25)
+    cut1, cut2 = int(0.5 * (1 << 32)), int(0.75 * (1 << 32))
+
+    def split_of(doc_id):
+        h = int(
+            hashlib.md5(f"{textstats.SPLIT_SALT}:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return "train" if h < cut1 else ("val" if h < cut2 else "test")
+
+    ids = list(range(400))
+    tr = next(i for i in ids if split_of(i) == "train")
+    va = next(i for i in ids if split_of(i) == "val")
+    te = next(i for i in ids if split_of(i) == "test")
+    memo = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten eleven"
+    df = spark.createDataFrame(
+        [(tr, memo), (va, memo), (te, novel)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.memorization_scan(df, weights=weights).collect()}
+    assert set(out) == {va, te}  # train docs are not reported
+    # 10 words, w=8 → 3 shingles; the val copy sees all of them in train
+    assert out[va]["n_shingles"] == 3 and out[va]["n_seen"] == 3
+    assert out[va]["seen_frac"] == 1.0
+    assert out[te]["n_seen"] == 0 and out[te]["seen_frac"] == 0.0
+
+
+def test_conv_bpe_equals_bpe_over_rendered(spark):
+    """bpe_conversations is exactly bpe_merges over the rendered frame."""
+    from lumbermill_spark.extras import convcorpus, textstats
+
+    df = _conv_frame(spark)
+    got = convcorpus.bpe_conversations(df).collect()
+    rendered = convcorpus.render_conversations(df).selectExpr(
+        "conv_id as doc_id", "rendered as text"
+    )
+    exp = textstats.bpe_merges(rendered).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert len(got) > 0
