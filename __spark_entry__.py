@@ -647,6 +647,14 @@ def _q_conv_truncate(spark, sf_dir):
     return convcorpus.truncate_to_budget(_transcripts(spark, sf_dir))
 
 
+def _q_conv_sessions(spark, sf_dir):
+    """Session re-keying: split conversations at >10-min idle gaps, with
+    session ids and session-local turn indices."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.session_split(_transcripts(spark, sf_dir))
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level near-dup: MinHash+LSH over prefix-capped rendered
     conversations (+ deterministic synthetic copies), verified pairs with
@@ -795,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pack": _q_conv_pack,
         "conv_loss_mask": _q_conv_loss_mask,
         "conv_truncate": _q_conv_truncate,
+        "conv_sessions": _q_conv_sessions,
         "conv_near_dup": _q_conv_near_dup,
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
@@ -898,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_pack": OX.conv_pack(tp),
         "conv_loss_mask": OX.conv_loss_mask(tp),
         "conv_truncate": OX.conv_truncate(tp),
+        "conv_sessions": OX.conv_sessions(tp),
         "conv_near_dup": OX.conv_near_dup(tp),
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),

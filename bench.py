@@ -183,6 +183,7 @@ def main() -> None:
     pca_model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
     timed("sim_pca_project", lambda: noopw(similarity.project_pca(embeds, pca_model)))
     timed("corpus_datacard", lambda: noopw(textstats.corpus_datacard(dedup.augmented_docs(docs))))
+    timed("text_memorization", lambda: noopw(textstats.memorization_scan(dedup.augmented_docs(docs), weights=(0.8, 0.1, 0.1))))
     # tokenizer training is the one iterative op: 8 driver-coordinated
     # rounds — a single run is representative (each round is itself many
     # tasks), three would dominate the bench wall

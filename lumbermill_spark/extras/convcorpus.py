@@ -301,6 +301,42 @@ def tool_flow(df: DataFrame) -> DataFrame:
     )
 
 
+CONV_SESSION_GAP_US = 600_000_000  # 10 min of silence starts a new session
+
+
+def session_split(df: DataFrame, gap_us: int = CONV_SESSION_GAP_US) -> DataFrame:
+    """Split each conversation into SESSIONS at idle gaps (> gap_us between
+    consecutive turns in turn_idx order) and re-key every turn: session_id
+    = '<conv_id>#<session_idx>' and a session-local turn index. The
+    context-reset preprocessing an agent-transcript corpus runs before
+    rendering/packing — a week-long conversation becomes several bounded
+    training documents instead of one document with day-sized holes.
+
+    One conv_id exchange carries the whole chain (lag → gap flag → running
+    session sum → session-local row_number); per-group state is O(1).
+    Negative/zero gaps (out-of-order timestamps) never split."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("_gap"),
+    )
+    d = d.withColumn(
+        "session_idx",
+        F.sum(F.when(F.col("_gap") > gap_us, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    ws = Window.partitionBy("conv_id", "session_idx").orderBy("turn_idx")
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws("#", F.col("conv_id"), F.col("session_idx")).alias("session_id"),
+        "session_idx",
+        (F.row_number().over(ws) - 1).cast("int").alias("sess_turn_idx"),
+    )
+
+
 def bpe_conversations(df: DataFrame) -> DataFrame:
     """Tokenizer training ON TRANSCRIPTS: render each conversation and run
     BPE merge induction (textstats.bpe_merges) over the rendered documents

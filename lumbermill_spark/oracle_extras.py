@@ -1074,6 +1074,31 @@ SELECT doc_a, doc_b, sim FROM prs
 """
 
 
+def conv_sessions(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.session_split: lag gap → running
+    gap-count session index → session-local row_number."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL),
+s AS (
+  SELECT conv_id, turn_idx,
+    CAST(sum(CASE WHEN gap > {CC.CONV_SESSION_GAP_US} THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+  FROM t)
+SELECT conv_id, turn_idx,
+  conv_id || '#' || session_idx AS session_id, session_idx,
+  CAST(row_number() OVER (PARTITION BY conv_id, session_idx ORDER BY turn_idx) - 1 AS INT)
+    AS sess_turn_idx
+FROM s
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first

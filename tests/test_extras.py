@@ -1416,3 +1416,30 @@ def test_conv_bpe_equals_bpe_over_rendered(spark):
     exp = textstats.bpe_merges(rendered).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert len(got) > 0
+
+
+def test_conv_session_split_golden(spark):
+    """Gap splitting, session-local re-indexing, and the no-split rules
+    (negative gap, gap == threshold) against a hand computation."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        ("c1", 1, "user", "a", None, "2024-01-01 00:00:00"),
+        ("c1", 2, "assistant", "b", None, "2024-01-01 00:00:30"),
+        ("c1", 3, "user", "c", None, "2024-01-01 01:00:00"),  # > 10 min: split
+        ("c1", 4, "assistant", "d", None, "2024-01-01 00:59:00"),  # negative: no split
+        ("c2", 1, "user", "x", None, "2024-01-01 00:00:00"),
+        (None, 1, "user", "orphan", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["conv_id"], r["turn_idx"]): r for r in
+           convcorpus.session_split(df).collect()}
+    assert len(out) == 5
+    assert out[("c1", 1)]["session_id"] == "c1#0" and out[("c1", 1)]["sess_turn_idx"] == 0
+    assert out[("c1", 2)]["session_id"] == "c1#0" and out[("c1", 2)]["sess_turn_idx"] == 1
+    assert out[("c1", 3)]["session_id"] == "c1#1" and out[("c1", 3)]["sess_turn_idx"] == 0
+    # turn 4's ts is EARLIER than turn 3's (negative gap): stays in session 1
+    assert out[("c1", 4)]["session_id"] == "c1#1" and out[("c1", 4)]["sess_turn_idx"] == 1
+    assert out[("c2", 1)]["session_id"] == "c2#0"
