@@ -655,6 +655,14 @@ def _q_conv_sessions(spark, sf_dir):
     return convcorpus.session_split(_transcripts(spark, sf_dir))
 
 
+def _q_conv_render_sessions(spark, sf_dir):
+    """Session-bounded training documents: idle-gap session assignment and
+    per-session rendering in one exchange."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.render_sessions(_transcripts(spark, sf_dir))
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level near-dup: MinHash+LSH over prefix-capped rendered
     conversations (+ deterministic synthetic copies), verified pairs with
@@ -804,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_loss_mask": _q_conv_loss_mask,
         "conv_truncate": _q_conv_truncate,
         "conv_sessions": _q_conv_sessions,
+        "conv_render_sessions": _q_conv_render_sessions,
         "conv_near_dup": _q_conv_near_dup,
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
@@ -908,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_loss_mask": OX.conv_loss_mask(tp),
         "conv_truncate": OX.conv_truncate(tp),
         "conv_sessions": OX.conv_sessions(tp),
+        "conv_render_sessions": OX.conv_render_sessions(tp),
         "conv_near_dup": OX.conv_near_dup(tp),
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),

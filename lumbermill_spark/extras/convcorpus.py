@@ -337,6 +337,47 @@ def session_split(df: DataFrame, gap_us: int = CONV_SESSION_GAP_US) -> DataFrame
     )
 
 
+def render_sessions(df: DataFrame, gap_us: int = CONV_SESSION_GAP_US) -> DataFrame:
+    """Session-bounded training documents: assign turns to idle-gap
+    sessions (session_split's rule) and render each SESSION as one 'role:
+    text' document — a week-long conversation becomes several coherent
+    documents instead of one with day-sized holes. ONE exchange total: the
+    session window partitions by conv_id, and the (conv_id, session_idx)
+    groupBy reuses that partitioning (hashpartitioning(conv_id) satisfies
+    clustering on the superset key — the lm_sessions plan lesson)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(": ", F.col("role"), F.col("text")).alias("_line"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("_gap"),
+    )
+    d = d.withColumn(
+        "session_idx",
+        F.sum(F.when(F.col("_gap") > gap_us, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    lines = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "_line"))), lambda s: s["_line"]
+    )
+    return (
+        d.groupBy("conv_id", "session_idx")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.array_join(lines, TURN_SEP).alias("rendered"),
+        )
+        .select(
+            F.concat_ws("#", F.col("conv_id"), F.col("session_idx")).alias("session_id"),
+            "conv_id",
+            "session_idx",
+            "n_turns",
+            F.length("rendered").cast("bigint").alias("n_chars"),
+            "rendered",
+        )
+    )
+
+
 def bpe_conversations(df: DataFrame) -> DataFrame:
     """Tokenizer training ON TRANSCRIPTS: render each conversation and run
     BPE merge induction (textstats.bpe_merges) over the rendered documents

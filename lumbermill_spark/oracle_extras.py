@@ -1099,6 +1099,33 @@ FROM s
 """
 
 
+def conv_render_sessions(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.render_sessions: the session window then
+    an ordered string_agg per (conv_id, session_idx)."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role || ': ' || text AS line,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM read_parquet('{transcripts_path}')
+  WHERE conv_id IS NOT NULL),
+s AS (
+  SELECT conv_id, turn_idx, line,
+    CAST(sum(CASE WHEN gap > {CC.CONV_SESSION_GAP_US} THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+  FROM t),
+r AS (
+  SELECT conv_id, session_idx, count(*)::INT AS n_turns,
+    string_agg(line, '{CC.TURN_SEP}' ORDER BY turn_idx) AS rendered
+  FROM s GROUP BY conv_id, session_idx)
+SELECT conv_id || '#' || session_idx AS session_id, conv_id, session_idx,
+  n_turns, length(rendered)::BIGINT AS n_chars, rendered
+FROM r
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first

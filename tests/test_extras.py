@@ -1443,3 +1443,24 @@ def test_conv_session_split_golden(spark):
     # turn 4's ts is EARLIER than turn 3's (negative gap): stays in session 1
     assert out[("c1", 4)]["session_id"] == "c1#1" and out[("c1", 4)]["sess_turn_idx"] == 1
     assert out[("c2", 1)]["session_id"] == "c2#0"
+
+
+def test_render_sessions_golden(spark):
+    """Session documents split at the gap and render in turn order."""
+    from lumbermill_spark.extras import convcorpus
+
+    rows = [
+        ("c1", 1, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("c1", 2, "assistant", "world", None, "2024-01-01 00:00:30"),
+        ("c1", 3, "user", "again", None, "2024-01-01 02:00:00"),
+        (None, 1, "user", "orphan", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["session_id"]: r for r in convcorpus.render_sessions(df).collect()}
+    assert set(out) == {"c1#0", "c1#1"}
+    assert out["c1#0"]["rendered"] == "user: hello\nassistant: world"
+    assert out["c1#0"]["n_turns"] == 2
+    assert out["c1#1"]["rendered"] == "user: again"
+    assert out["c1#1"]["n_chars"] == len("user: again")

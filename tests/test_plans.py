@@ -470,3 +470,16 @@ def test_corpus_datacard_two_exchanges_no_python(spark):
     assert "Join" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_render_sessions_single_exchange(spark):
+    """The session groupBy must REUSE the window's conv_id partitioning
+    (hashpartitioning(conv_id) satisfies clustering on (conv_id,
+    session_idx)) — one exchange, no Python, no join."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
+    plan = _plan(convcorpus.render_sessions(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Python" not in plan and "Join" not in plan
