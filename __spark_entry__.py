@@ -708,6 +708,14 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_text_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters: bounded 4x1024 sketch, min-over-rows
+    estimates, top-K tokens with exact counts alongside."""
+    from lumbermill_spark.extras import sketch
+
+    return sketch.cms_topk(_docs(spark, sf_dir))
+
+
 def _q_text_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING: the first 8 learned merges (Sennrich 2016)
     over the corpus word table — iterative pair-count rounds, greedy
@@ -818,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_flow": _q_conv_tool_flow,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
+        "text_cms_topk": _q_text_cms_topk,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
@@ -923,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
+        "text_cms_topk": OX.text_cms_topk(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),

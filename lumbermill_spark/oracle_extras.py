@@ -1329,6 +1329,40 @@ SELECT * FROM ({text_bpe_merges()})
 """
 
 
+def text_cms_topk() -> str:
+    """Replay of extras.sketch.cms_topk: the md5-salted hash family rebuilds
+    the sketch CELL FOR CELL; min-over-rows estimates, (est DESC, token)
+    rank, top-K with the exact count alongside."""
+    from .extras import sketch as SK
+
+    bucket = (
+        f"(('0x'||substring(md5('cms'||r||':'||token),1,8))::BIGINT % {SK.CMS_WIDTH})::INT"
+    )
+    rs = f"(SELECT unnest(generate_series(0,{SK.CMS_DEPTH - 1})) AS r) rs"
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+cells AS (
+  SELECT r, bucket, count(*)::BIGINT AS cnt FROM (
+    SELECT r, {bucket} AS bucket FROM tok CROSS JOIN {rs})
+  GROUP BY r, bucket),
+exact AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY token),
+probes AS (
+  SELECT token, exact_cnt, r, {bucket} AS bucket
+  FROM exact CROSS JOIN {rs}),
+est AS (
+  SELECT token, exact_cnt, min(cnt)::BIGINT AS est_cnt
+  FROM probes JOIN cells USING (r, bucket) GROUP BY token, exact_cnt),
+ranked AS (
+  SELECT token, est_cnt, exact_cnt, est_cnt > exact_cnt AS overestimated,
+    row_number() OVER (ORDER BY est_cnt DESC, token) AS rk
+  FROM est)
+SELECT token, est_cnt, exact_cnt, overestimated, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {SK.CMS_TOPK}
+"""
+
+
 def text_vocab_topk(k: int) -> str:
     """Replay of extras.textstats.vocab_topk: counts → top-K by (count
     DESC, token) → K-bounded cumulative coverage window."""

@@ -1464,3 +1464,24 @@ def test_render_sessions_golden(spark):
     assert out["c1#0"]["n_turns"] == 2
     assert out["c1#1"]["rendered"] == "user: again"
     assert out["c1#1"]["n_chars"] == len("user: again")
+
+
+def test_cms_sketch_invariants(spark):
+    """Count-min guarantees on a known corpus: per-row cell mass equals the
+    stream length, estimates are one-sided (est >= exact), the top token is
+    the true heavy hitter, and ranks are contiguous."""
+    from lumbermill_spark.extras import sketch
+
+    texts = ["apple apple apple banana", "apple banana cherry", "date elderberry apple"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    cells = sketch.cms_build(df).collect()
+    n_tokens = sum(len(t.split()) for t in texts)
+    for r in range(sketch.CMS_DEPTH):
+        assert sum(c["cnt"] for c in cells if c["row"] == r) == n_tokens
+    out = sketch.cms_topk(df, k=10).collect()
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in out)
+    assert all(r["overestimated"] == (r["est_cnt"] > r["exact_cnt"]) for r in out)
+    assert out[0]["token"] == "apple" and out[0]["exact_cnt"] == 5
+    assert [r["rank"] for r in sorted(out, key=lambda x: x["rank"])] == list(
+        range(1, len(out) + 1)
+    )
