@@ -708,6 +708,22 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership pre-filter in front of incremental dedup:
+    bloom verdict, exact verdict, and the measured false positives, on the
+    augmented corpus with the incremental index split."""
+    from pyspark.sql import functions as FF
+
+    from lumbermill_spark.extras import dedup, sketch, textstats
+
+    aug = dedup.augmented_docs(_docs(spark, sf_dir))
+    batch = aug.filter(FF.col("doc_id") % sketch.BLOOM_INDEX_MOD != 0)
+    index = aug.filter(FF.col("doc_id") % sketch.BLOOM_INDEX_MOD == 0).select(
+        textstats.fingerprint(FF.col("text")).alias("fingerprint")
+    )
+    return sketch.bloom_prefilter(batch, index)
+
+
 def _q_text_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters: bounded 4x1024 sketch, min-over-rows
     estimates, top-K tokens with exact counts alongside."""
@@ -827,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
         "text_cms_topk": _q_text_cms_topk,
+        "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
@@ -933,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
         "text_cms_topk": OX.text_cms_topk(),
+        "dedup_bloom_prefilter": OX.dedup_bloom_prefilter(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),

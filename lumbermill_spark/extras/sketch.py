@@ -98,3 +98,82 @@ def cms_topk(df: DataFrame, k: int = CMS_TOPK, text_col: str = "text") -> DataFr
     return ranked.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("est_cnt").desc(), "token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filter — the membership sketch in front of incremental
+# dedup: at 10^12 documents the prior-corpus fingerprint index cannot join
+# against every incoming batch row, but a BLOOM_BITS-bit filter of it
+# broadcasts everywhere and discards definite non-members before the exact
+# join. One-sided like CMS: no false negatives, measurable false positives.
+# BLOOM_BITS/BLOOM_HASHES are deliberately small for the gate corpus so the
+# false-positive path actually fires and is verified (~5% FP at ~116 set
+# bits); production sizes m for its own n (the math is in the docstring of
+# bloom_prefilter).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 512
+BLOOM_HASHES = 2
+# gate split for the bloom driver query: NOT dedup.INC_INDEX_MOD (4) —
+# the augmentation offset (1,000,000) is ≡ 0 mod 4, so originals and their
+# exact copies would always land on the same side and exact_member could
+# never fire; 1,000,000 ≡ 1 mod 3 splits every (orig, copy) pair
+BLOOM_INDEX_MOD = 3
+
+
+def _bloom_pos(fp, i: int):
+    """Hash i's bit position for a fingerprint: 32-bit md5 prefix of the
+    salted fingerprint, mod BLOOM_BITS."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), fp)), 1, 8), 16, 10)
+    return (h.cast("bigint") % BLOOM_BITS).cast("int")
+
+
+def bloom_build(index_fps: DataFrame) -> DataFrame:
+    """The set-bit table (pos int) of the index fingerprints — at most
+    BLOOM_BITS rows after distinct, broadcastable at any index size."""
+    return (
+        index_fps.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("fingerprint"), i) for i in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_prefilter(batch: DataFrame, index_fps: DataFrame) -> DataFrame:
+    """Flag every batch document through the bloom filter AND the exact
+    index join side by side: (doc_id, bloom_member, exact_member,
+    false_positive). bloom_member = all BLOOM_HASHES positions set; the
+    guarantee under test: false negatives are impossible (exact_member →
+    bloom_member), false positives occur at ~(k·n/m)^k and are exactly the
+    rows the downstream join still has to check. Scale shape: the bit table
+    and the fingerprint index both broadcast; the batch never shuffles."""
+    from . import textstats
+
+    fp = batch.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+    bits = bloom_build(index_fps)
+    probes = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fingerprint"), i) for i in range(BLOOM_HASHES)])
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "fingerprint")
+        .agg(F.count("*").cast("int").alias("_set"))
+    )
+    member = fp.join(hits.select("doc_id", "_set"), "doc_id", "left").withColumn(
+        "bloom_member", F.coalesce(F.col("_set"), F.lit(0)) == BLOOM_HASHES
+    )
+    idx = index_fps.select("fingerprint").distinct().withColumn("_exact", F.lit(True))
+    out = member.join(F.broadcast(idx), "fingerprint", "left")
+    exact = F.coalesce(F.col("_exact"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "bloom_member",
+        exact.alias("exact_member"),
+        (F.col("bloom_member") & ~exact).alias("false_positive"),
+    )

@@ -1329,6 +1329,37 @@ SELECT * FROM ({text_bpe_merges()})
 """
 
 
+def dedup_bloom_prefilter() -> str:
+    """Replay of extras.sketch.bloom_prefilter over the augmented corpus
+    with the BLOOM_INDEX_MOD split (mod 3 splits every (orig, copy) pair so
+    exact membership fires): salted md5 bit positions, all-bits-set
+    membership, exact join alongside, false-positive flag."""
+    from .extras import sketch as SK
+
+    pos = (
+        f"(('0x'||substring(md5('bloom'||i||':'||fingerprint),1,8))::BIGINT"
+        f" % {SK.BLOOM_BITS})::INT"
+    )
+    g = f"(SELECT unnest(generate_series(0,{SK.BLOOM_HASHES - 1})) AS i) g"
+    return f"""
+WITH {AUG_DOCS},
+fps AS (SELECT doc_id, {FINGERPRINT} AS fingerprint FROM docs),
+idx AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id % {SK.BLOOM_INDEX_MOD} = 0),
+batch AS (SELECT * FROM fps WHERE doc_id % {SK.BLOOM_INDEX_MOD} <> 0),
+bits AS (SELECT DISTINCT {pos} AS pos FROM idx CROSS JOIN {g}),
+probes AS (SELECT doc_id, {pos} AS pos FROM batch CROSS JOIN {g}),
+hits AS (SELECT doc_id, count(*)::INT AS nset
+  FROM probes JOIN bits USING (pos) GROUP BY doc_id),
+m AS (SELECT b.doc_id, b.fingerprint,
+    COALESCE(h.nset, 0) = {SK.BLOOM_HASHES} AS bloom_member
+  FROM batch b LEFT JOIN hits h USING (doc_id))
+SELECT m.doc_id, m.bloom_member,
+  (i.fingerprint IS NOT NULL) AS exact_member,
+  (m.bloom_member AND i.fingerprint IS NULL) AS false_positive
+FROM m LEFT JOIN idx i USING (fingerprint)
+"""
+
+
 def text_cms_topk() -> str:
     """Replay of extras.sketch.cms_topk: the md5-salted hash family rebuilds
     the sketch CELL FOR CELL; min-over-rows estimates, (est DESC, token)

@@ -1485,3 +1485,47 @@ def test_cms_sketch_invariants(spark):
     assert [r["rank"] for r in sorted(out, key=lambda x: x["rank"])] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_bloom_prefilter_golden(spark):
+    """No false negatives ever; a forced false positive (novel text whose
+    bit positions are covered by the index, found by replaying the hash in
+    Python); a definite non-member reads False everywhere."""
+    import hashlib
+    import re
+
+    from lumbermill_spark.extras import sketch
+
+    def fp_of(text):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    def pos_of(fp, i):
+        h = int(hashlib.md5(f"bloom{i}:{fp}".encode()).hexdigest()[:8], 16)
+        return h % sketch.BLOOM_BITS
+
+    indexed_text = "the indexed document body"
+    idx_fp = fp_of(indexed_text)
+    idx_bits = {pos_of(idx_fp, i) for i in range(sketch.BLOOM_HASHES)}
+    # search for a NOVEL text fully covered by the index bits (a guaranteed
+    # false positive) and one that is definitely outside them
+    fp_text = cold_text = None
+    for n in range(200_000):
+        t = f"candidate number {n}"
+        bits = {pos_of(fp_of(t), i) for i in range(sketch.BLOOM_HASHES)}
+        if fp_text is None and bits <= idx_bits:
+            fp_text = t
+        if cold_text is None and not (bits & idx_bits):
+            cold_text = t
+        if fp_text and cold_text:
+            break
+    assert fp_text and cold_text, "search exhausted"
+
+    batch = spark.createDataFrame(
+        [(1, indexed_text), (2, fp_text), (3, cold_text)], "doc_id long, text string"
+    )
+    index = spark.createDataFrame([(idx_fp,)], "fingerprint string")
+    out = {r["doc_id"]: r for r in sketch.bloom_prefilter(batch, index).collect()}
+    assert out[1]["bloom_member"] and out[1]["exact_member"] and not out[1]["false_positive"]
+    assert out[2]["bloom_member"] and not out[2]["exact_member"] and out[2]["false_positive"]
+    assert not out[3]["bloom_member"] and not out[3]["false_positive"]
