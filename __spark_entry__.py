@@ -708,6 +708,14 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_text_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate with the exact count and error
+    fraction alongside — explicit 256-register build, oracle-replayable."""
+    from lumbermill_spark.extras import sketch
+
+    return sketch.hll_distinct(_docs(spark, sf_dir))
+
+
 def _q_dedup_bloom_prefilter(spark, sf_dir):
     """Bloom-filter membership pre-filter in front of incremental dedup:
     bloom verdict, exact verdict, and the measured false positives, on the
@@ -844,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": _q_text_bpe_merges,
         "text_cms_topk": _q_text_cms_topk,
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
+        "text_hll_distinct": _q_text_hll_distinct,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
@@ -951,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_merges": OX.text_bpe_merges(),
         "text_cms_topk": OX.text_cms_topk(),
         "dedup_bloom_prefilter": OX.dedup_bloom_prefilter(),
+        "text_hll_distinct": OX.text_hll_distinct(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),

@@ -177,3 +177,77 @@ def bloom_prefilter(batch: DataFrame, index_fps: DataFrame) -> DataFrame:
         exact.alias("exact_member"),
         (F.col("bloom_member") & ~exact).alias("false_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the third leg
+# of the sketch suite: CMS answers "how often", Bloom answers "seen
+# before?", HLL answers "how many distinct" in HLL_REGISTERS bytes. Spark's
+# approx_count_distinct is the production form but its HLL++ internals are
+# not oracle-replayable; this explicit-register build is — same md5 hash
+# discipline, so DuckDB reproduces every register AND the estimate.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_REGISTERS = 1 << HLL_P
+
+
+def hll_distinct(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row report: (n_registers, estimate, exact_distinct, err_frac).
+    Each token hashes to a 32-bit md5 prefix; the low HLL_P bits pick the
+    register, and the register keeps the maximum number of leading zeros
+    (+1) of the remaining 24 bits. The raw estimate alpha*m^2 / sum(2^-reg)
+    applies the standard small-range linear-counting correction when
+    estimate <= 2.5m and empty registers exist.
+
+    Cross-engine float discipline: the harmonic sum folds over registers in
+    BUCKET ORDER (collect into an ordered array, then an in-order
+    aggregate), so both engines add the same float64 values in the same
+    sequence; the estimate is rounded to 6 dp. Scale shape: one map-side-
+    combined max per register (256 groups), then a single-row fold —
+    corpus-size work is exactly one aggregate pass."""
+    toks = _tokens(df, text_col)
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    d = toks.select(
+        (h % HLL_REGISTERS).cast("int").alias("bucket"),
+        F.shiftright(h, HLL_P).alias("rest"),
+    )
+    # leading zeros of the 24-bit remainder, +1; rest == 0 → 25
+    rank = F.when(F.col("rest") == 0, F.lit(32 - HLL_P + 1)).otherwise(
+        32 - HLL_P - F.floor(F.log2("rest")) # floor(log2) gives the top bit index
+    )
+    regs = d.groupBy("bucket").agg(F.max(rank).cast("int").alias("reg"))
+    # fold registers IN BUCKET ORDER; absent buckets contribute 2^-0 = 1
+    full = (
+        regs.select(F.struct("bucket", "reg").alias("s"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("s")).alias("rs"))
+        .select(
+            F.size("rs").alias("n_filled"),
+            F.aggregate(
+                "rs", F.lit(0.0), lambda acc, s: acc + F.pow(F.lit(2.0), -s["reg"])
+            ).alias("hsum_filled"),
+        )
+    )
+    # the estimate finishes INSIDE Catalyst (never driver-side Python: its
+    # banker's round diverges from the Spark/DuckDB half-up pair)
+    m = F.lit(float(HLL_REGISTERS))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    exact = toks.agg(F.countDistinct("token").cast("bigint").alias("exact_distinct"))
+    j = full.crossJoin(exact)
+    n_empty = (F.lit(HLL_REGISTERS) - F.col("n_filled")).cast("double")
+    hsum = F.col("hsum_filled") + n_empty
+    raw = alpha * m * m / hsum
+    est6 = F.round(
+        F.when((raw <= 2.5 * m) & (n_empty > 0), m * F.log(m / n_empty)).otherwise(raw), 6
+    )
+    return j.select(
+        F.lit(HLL_REGISTERS).alias("n_registers"),
+        est6.alias("estimate"),
+        "exact_distinct",
+        F.round(
+            F.abs(est6 - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1)).cast("double"),
+            6,
+        ).alias("err_frac"),
+    )

@@ -1360,6 +1360,46 @@ FROM m LEFT JOIN idx i USING (fingerprint)
 """
 
 
+def text_hll_distinct() -> str:
+    """Replay of extras.sketch.hll_distinct: md5 32-bit hashes, low-P-bit
+    bucket, leading-zero rank, ordered register fold, the alpha*m^2/hsum
+    estimate with linear-counting small-range correction."""
+    from .extras import sketch as SK
+
+    m = float(SK.HLL_REGISTERS)
+    p = SK.HLL_P
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+hh AS (SELECT ('0x'||substring(md5(token),1,8))::BIGINT AS h FROM tok),
+d AS (SELECT (h % {SK.HLL_REGISTERS})::INT AS bucket, h >> {p} AS rest FROM hh),
+rk AS (SELECT bucket,
+  CASE WHEN rest = 0 THEN {32 - p + 1}
+       ELSE {32 - p} - floor(log2(rest)) END AS rank FROM d),
+regs AS (SELECT bucket, max(rank)::INT AS reg FROM rk GROUP BY bucket),
+fl AS (SELECT count(*) AS n_filled,
+  list_sum(list_transform(list(reg ORDER BY bucket), r -> pow(2.0, -r))) AS hsum_filled
+  FROM regs),
+ex AS (SELECT count(DISTINCT token)::BIGINT AS exact_distinct FROM tok),
+calc AS (
+  SELECT n_filled, exact_distinct,
+    ({m} - n_filled)::DOUBLE AS n_empty,
+    hsum_filled + ({m} - n_filled)::DOUBLE AS hsum
+  FROM fl CROSS JOIN ex),
+est AS (
+  SELECT exact_distinct,
+    round(CASE WHEN (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / hsum <= 2.5 * {m}
+                AND n_empty > 0
+          THEN {m} * ln({m} / n_empty)
+          ELSE (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / hsum END, 6) AS estimate
+  FROM calc)
+SELECT {SK.HLL_REGISTERS}::INT AS n_registers, estimate, exact_distinct,
+  round(abs(estimate - exact_distinct) / greatest(exact_distinct, 1)::DOUBLE, 6) AS err_frac
+FROM est
+"""
+
+
 def text_cms_topk() -> str:
     """Replay of extras.sketch.cms_topk: the md5-salted hash family rebuilds
     the sketch CELL FOR CELL; min-over-rows estimates, (est DESC, token)

@@ -1529,3 +1529,18 @@ def test_bloom_prefilter_golden(spark):
     assert out[1]["bloom_member"] and out[1]["exact_member"] and not out[1]["false_positive"]
     assert out[2]["bloom_member"] and not out[2]["exact_member"] and out[2]["false_positive"]
     assert not out[3]["bloom_member"] and not out[3]["false_positive"]
+
+
+def test_hll_distinct_invariants(spark):
+    """HLL error stays within the theoretical band (~1.04/sqrt(m) ≈ 6.5%
+    at 256 registers; allow 3x) on a 3,000-token vocabulary large enough
+    to take the RAW-estimate branch, and the report is self-consistent."""
+    from lumbermill_spark.extras import sketch
+
+    texts = [" ".join(f"tok{i}" for i in range(d, d + 50)) for d in range(0, 3000, 50)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    row = sketch.hll_distinct(df).collect()[0]
+    assert row["exact_distinct"] == 3000
+    assert row["n_registers"] == sketch.HLL_REGISTERS
+    assert abs(row["estimate"] - 3000) / 3000 < 0.20
+    assert row["err_frac"] == round(abs(row["estimate"] - 3000) / 3000, 6)
