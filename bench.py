@@ -184,6 +184,9 @@ def main() -> None:
     timed("sim_pca_project", lambda: noopw(similarity.project_pca(embeds, pca_model)))
     timed("corpus_datacard", lambda: noopw(textstats.corpus_datacard(dedup.augmented_docs(docs))))
     timed("text_memorization", lambda: noopw(textstats.memorization_scan(dedup.augmented_docs(docs), weights=(0.8, 0.1, 0.1))))
+    from lumbermill_spark.extras import sketch
+    timed("text_cms_topk", lambda: noopw(sketch.cms_topk(docs)))
+    timed("text_hll_distinct", lambda: noopw(sketch.hll_distinct(docs)))
     # tokenizer training is the one iterative op: 8 driver-coordinated
     # rounds — a single run is representative (each round is itself many
     # tasks), three would dominate the bench wall

@@ -483,3 +483,31 @@ def test_render_sessions_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_sketch_ops_broadcast_and_bounded(spark):
+    """The sketch suite's scale contracts: CMS probes and the bloom bit
+    table BROADCAST (never sort-merge or cartesian); the HLL register fold
+    has no corpus-sized single partition (the one global agg folds 256
+    pre-aggregated register rows)."""
+    from pyspark.sql import functions as FF
+
+    from lumbermill_spark.extras import sketch, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p_cms = _plan(sketch.cms_topk(docs))
+    assert "BroadcastHashJoin" in p_cms
+    assert "SortMergeJoin" not in p_cms and "CartesianProduct" not in p_cms
+
+    index = docs.filter(FF.col("doc_id") % sketch.BLOOM_INDEX_MOD == 0).select(
+        textstats.fingerprint(FF.col("text")).alias("fingerprint")
+    )
+    batch = docs.filter(FF.col("doc_id") % sketch.BLOOM_INDEX_MOD != 0)
+    p_bloom = _plan(sketch.bloom_prefilter(batch, index))
+    assert "BroadcastHashJoin" in p_bloom
+    assert "CartesianProduct" not in p_bloom
+
+    p_hll = _plan(sketch.hll_distinct(docs))
+    # partial_max per bucket must combine map-side BEFORE the global fold
+    assert "partial_max" in p_hll or "partial_" in p_hll
+    assert "Python" not in p_hll
