@@ -404,3 +404,47 @@ def conv_running_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming count-min sketch over the transcript text stream: every
+    micro-batch writes ITS OWN partial sketch cells partitioned by batch_id
+    (dynamic-partition overwrite — idempotent under micro-batch retry, the
+    same exactly-once recipe as the sink stream), and the live sketch is
+    the cell-wise SUM over batches. That merge is exactly the mergeability
+    count-min guarantees, so the drained stream's folded sketch EQUALS the
+    batch sketch bit for bit (pinned by pytest) while per-batch state stays
+    bounded at CMS_DEPTH×CMS_WIDTH cells no matter how long the stream
+    runs."""
+    from .extras import sketch
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            sketch.cms_build(df, text_col="text")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "cms_cells"))
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch)
+    return _start(writer, out_dir, "_cms_checkpoint", checkpoint_dir, available_now, trigger_seconds)
+
+
+def cms_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged live sketch: cell-wise sum across micro-batch partials —
+    readable while the stream runs (same transient-read caveat as
+    freshness_view)."""
+    cells = spark.read.parquet(os.path.join(out_dir, "cms_cells"))
+    return cells.groupBy("row", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))

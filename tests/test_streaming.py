@@ -426,3 +426,30 @@ def test_conv_running_stats_tws_plan_builds(spark, stream_input):
         "max_turn_idx:int",
         "last_ts:timestamp",
     ]
+
+
+def test_cms_stream_matches_batch(spark, stream_input, tmp_path):
+    """Sketch mergeability end-to-end: the cell-wise sum of per-micro-batch
+    CMS partials equals the batch-built sketch exactly (forced multi-batch
+    via maxFilesPerTrigger=1)."""
+    from lumbermill_spark.extras import sketch
+
+    out = str(tmp_path / "cms_out")
+    q = streaming.start_cms_stream(
+        spark, stream_input, out, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in streaming.cms_view(spark, out).collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketch.cms_build(spark.read.parquet(stream_input), text_col="text").collect()
+    }
+    assert got == want and len(got) > 0
+    # multi-batch actually happened (3 input files -> 3 partials)
+    import glob
+
+    assert len(glob.glob(f"{out}/cms_cells/batch_id=*")) >= 2
