@@ -708,6 +708,14 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling without replacement (Efraimidis-Spirakis
+    keys from deterministic hash uniforms), k per language."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.weighted_sample(_docs(spark, sf_dir))
+
+
 def _q_text_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-token estimate with the exact count and error
     fraction alongside — explicit 256-register build, oracle-replayable."""
@@ -853,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_topk": _q_text_cms_topk,
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
         "text_hll_distinct": _q_text_hll_distinct,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
@@ -961,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "text_cms_topk": OX.text_cms_topk(),
         "dedup_bloom_prefilter": OX.dedup_bloom_prefilter(),
         "text_hll_distinct": OX.text_hll_distinct(),
+        "corpus_weighted_sample": OX.corpus_weighted_sample(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),

@@ -1972,3 +1972,43 @@ def memorization_scan(
             F.round(F.col("n_seen") / F.greatest(F.col("n_shingles"), F.lit(1)), 6),
         )
     )
+
+
+WSAMPLE_K = 25  # per-language keep budget for the weighted sample
+WSAMPLE_SALT = "lmwsample-v1"
+
+
+def weighted_sample(df: DataFrame, k: int = WSAMPLE_K, salt: str = WSAMPLE_SALT) -> DataFrame:
+    """Quality-WEIGHTED sampling without replacement, k per language — the
+    Efraimidis-Spirakis A-ES scheme: each document draws a deterministic
+    uniform u from its hashed id and competes with key u^(1/w), w = its
+    quality score; the top-k keys per stratum are exactly a weighted sample
+    without replacement. The standard curation step between "keep
+    everything above a threshold" and "train on everything": oversample
+    high-quality documents while keeping a tail of everything else, and the
+    hash-derived u makes the draw reproducible run over run (and exactly
+    replayable by the oracle — no RNG anywhere).
+
+    Scale shape: one projection computes the key, one lang-partitioned
+    window ranks it — a single bounded exchange; k is a constant so the
+    output is |langs|·k rows."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w_q = F.greatest(F.col("quality_score"), F.lit(1e-6))  # zero-weight guard
+    d = with_quality(df).select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(F.pow(u, F.lit(1.0) / w_q), 12).alias("sample_key"),
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(wl).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1360,6 +1360,40 @@ FROM m LEFT JOIN idx i USING (fingerprint)
 """
 
 
+def corpus_weighted_sample() -> str:
+    """Replay of extras.textstats.weighted_sample: hash-uniform u, key =
+    u^(1/quality), top-k per language (1e-6 written as a scientific literal
+    so DuckDB parses DOUBLE, not DECIMAL — the trigram lesson)."""
+    length = "greatest(length(text), 1)::DOUBLE"
+    ntok = (
+        "greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE"
+    )
+    alpha = f"len(regexp_extract_all(text, '{TS.ALPHA_PAT}')) / {length}"
+    punct = f"len(regexp_extract_all(text, '{TS.PUNCT_PAT}')) / {length}"
+    stop = f"least(len(regexp_extract_all(lower(text), '{TS.stopword_pat('en')}'))::DOUBLE / {ntok}, 1.0)"
+    score = (
+        f"0.25 * ({alpha}) + 0.25 * (1.0 - least(({punct}) * 4.0, 1.0))"
+        f" + 0.25 * ({stop}) + 0.25 * least({ntok} / 100.0, 1.0)"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, round({score}, 6) AS quality_score,
+    (('0x'||substring(md5('{TS.WSAMPLE_SALT}:'||doc_id),1,8))::BIGINT)::DOUBLE
+      / 4294967296.0 AS u
+  FROM documents),
+kk AS (
+  SELECT doc_id, lang, quality_score,
+    round(pow(u, 1.0 / greatest(quality_score, 1e-6)), 12) AS sample_key
+  FROM b),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS INT) AS rank
+  FROM kk)
+SELECT doc_id, lang, quality_score, sample_key, rank
+FROM r WHERE rank <= {TS.WSAMPLE_K}
+"""
+
+
 def text_hll_distinct() -> str:
     """Replay of extras.sketch.hll_distinct: md5 32-bit hashes, low-P-bit
     bucket, leading-zero rank, ordered register fold, the alpha*m^2/hsum

@@ -1544,3 +1544,40 @@ def test_hll_distinct_invariants(spark):
     assert row["n_registers"] == sketch.HLL_REGISTERS
     assert abs(row["estimate"] - 3000) / 3000 < 0.20
     assert row["err_frac"] == round(abs(row["estimate"] - 3000) / 3000, 6)
+
+
+def test_weighted_sample_golden(spark):
+    """The A-ES ranking equals an independent Python computation of
+    u^(1/w) keys, and the weighting demonstrably biases the draw: a
+    high-quality doc with the same u beats a low-quality one."""
+    import hashlib
+
+    from lumbermill_spark.extras import textstats
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to the forest where it meets another fox and they talk about life"
+    )
+    bad = "!!! ??? ***"
+    rows = [(i, good if i % 2 == 0 else bad, "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(
+        textstats.weighted_sample(df, k=4).collect(), key=lambda r: r["rank"]
+    )
+    assert len(out) == 4 and [r["rank"] for r in out] == [1, 2, 3, 4]
+
+    q = {r["doc_id"]: r["quality_score"] for r in textstats.with_quality(df).collect()}
+
+    def key_of(doc_id):
+        h = int(
+            hashlib.md5(f"{textstats.WSAMPLE_SALT}:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = h / float(1 << 32)
+        return round(u ** (1.0 / max(q[doc_id], 1e-6)), 12)
+
+    exp = sorted(range(10), key=lambda i: (-key_of(i), i))[:4]
+    assert [r["doc_id"] for r in out] == exp
+    # weighting sanity: mean key of high-quality docs beats low-quality
+    hi = sum(key_of(i) for i in range(0, 10, 2)) / 5
+    lo = sum(key_of(i) for i in range(1, 10, 2)) / 5
+    assert hi > lo
