@@ -1140,7 +1140,10 @@ SELECT conv_id, count(*)::INT AS n_turns,
   count(DISTINCT turn_idx)::INT AS n_distinct_idx,
   min(turn_idx)::INT AS first_idx, max(turn_idx)::INT AS last_idx,
   COALESCE(sum((role = prev_role)::INT), 0)::BIGINT AS role_repeats,
-  arg_min(role, turn_idx) AS opener_role,
+  -- struct min replays Spark's min(struct(turn_idx, role)) EXACTLY: on a
+  -- duplicated turn_idx (the defect this op detects) arg_min(role,
+  -- turn_idx) would tie-break arbitrarily, this stays deterministic
+  min(struct_pack(a := turn_idx, b := role)).b AS opener_role,
   (count(DISTINCT turn_idx) = count(*)
    AND max(turn_idx) - min(turn_idx) + 1 = count(*)) AS contiguous
 FROM t GROUP BY conv_id
