@@ -781,6 +781,15 @@ def _q_text_chunk_sliding(spark, sf_dir):
     return textstats.chunk_sliding(_docs(spark, sf_dir))
 
 
+def _q_mm_embed_topk(spark, sf_dir):
+    """Payload → stub embedding → brute-force ANN, end-to-end: the decode/
+    encode stage hands its vectors to the similarity suite unchanged."""
+    from lumbermill_spark.extras import multimodal, similarity
+
+    pay = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return similarity.topk_bruteforce(multimodal.embed_stub(pay))
+
+
 def _q_mm_decode(spark, sf_dir):
     from lumbermill_spark.extras import multimodal
 
@@ -865,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "mm_decode_stub": _q_mm_decode,
+        "mm_embed_topk": _q_mm_embed_topk,
         "mm_frame_sample": _q_mm_frame_sample,
         "lm_class_counts": _q_class_counts,
         "lm_router_error_codes": _q_router_error_codes,
@@ -974,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "mm_decode_stub": OX.mm_decode_stub(),
+        "mm_embed_topk": OX.mm_embed_topk(),
         "mm_frame_sample": OX.mm_frame_sample(),
         "lm_class_counts": O.class_counts(tp),
         "lm_sink_router": O.sink_router(tp),

@@ -137,3 +137,53 @@ def frame_sample(
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(fn, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# embedding extraction: the payload → vector stage between decode and the
+# ANN suite. The encoder is a STUB (md5-derived components; a real
+# deployment runs a CLIP/wav2vec forward pass in this exact mapInPandas
+# body), but the handoff is real: the stub's output feeds
+# similarity.topk_bruteforce / topk_ivf unchanged, and the components are
+# built from power-of-two scalings only (n / 2^31 − 1), so float64 is
+# bit-identical across engines and the WHOLE payload→vector→ANN chain sits
+# under the value-exact driver gate.
+# ---------------------------------------------------------------------------
+
+MM_EMBED_DIM = 8
+
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embed_stub(payloads: DataFrame, dim: int = MM_EMBED_DIM) -> DataFrame:
+    """(doc_id, payload) → (vec_id, label, embedding): component j is
+    int(md5(payload_utf8 || ':emb<j>')[:8 hex], 16) / 2^31 − 1 ∈ [−1, 1)."""
+
+    def fn(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(b).decode("utf-8")
+                v = [
+                    int(hashlib.md5(f"{s}:emb{j}".encode("utf-8")).hexdigest()[:8], 16)
+                    / 2147483648.0
+                    - 1.0
+                    for j in range(dim)
+                ]
+                ids.append(did)
+                vecs.append(v)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "label": pd.Series(["mm"] * len(ids), dtype="object"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(fn, schema=_EMBED_SCHEMA)

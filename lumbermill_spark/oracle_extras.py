@@ -288,6 +288,28 @@ list_sum([{a}[i] * {b}[i] FOR i IN range(1, len({b}) + 1)])
 _COS = _cos("q.qv", "e.v")
 
 
+def mm_embed_topk() -> str:
+    """Replay of multimodal.embed_stub → similarity.topk_bruteforce: the
+    stub components are pure power-of-two scalings of md5 prefixes, so the
+    vectors — and every cosine downstream — are float64-bit-identical."""
+    from .extras import multimodal as MM
+
+    return f"""
+WITH e AS (
+  SELECT doc_id AS vec_id,
+    [ (('0x'||substring(md5(text || ':emb' || j),1,8))::BIGINT / 2147483648.0 - 1.0)
+      FOR j IN range(0, {MM.MM_EMBED_DIM}) ] AS v
+  FROM documents),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SIM.N_QUERIES}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS score
+FROM r WHERE rank <= {SIM.TOPK}
+"""
+
+
 def sim_topk_bruteforce() -> str:
     return f"""
 WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

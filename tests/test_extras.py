@@ -1581,3 +1581,33 @@ def test_weighted_sample_golden(spark):
     hi = sum(key_of(i) for i in range(0, 10, 2)) / 5
     lo = sum(key_of(i) for i in range(1, 10, 2)) / 5
     assert hi > lo
+
+
+def test_mm_embed_stub_deterministic_and_bounded(spark):
+    """The stub encoder is pure: components replay from Python md5, live in
+    [-1, 1), and feed topk_bruteforce unchanged (contiguous ranks)."""
+    import hashlib
+
+    from lumbermill_spark.extras import multimodal, similarity
+
+    df = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    emb = multimodal.embed_stub(multimodal.with_binary_payload(df))
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert set(rows) == set(range(10))
+    for i, v in rows.items():
+        assert len(v) == multimodal.MM_EMBED_DIM
+        exp = [
+            int(hashlib.md5(f"payload text {i}:emb{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for j in range(multimodal.MM_EMBED_DIM)
+        ]
+        assert v == exp
+        assert all(-1.0 <= x < 1.0 for x in v)
+    topk = similarity.topk_bruteforce(emb, k=3, n_queries=2).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
