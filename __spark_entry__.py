@@ -700,6 +700,16 @@ def _q_text_memorization(spark, sf_dir):
     )
 
 
+def _q_conv_memorization(spark, sf_dir):
+    """Transcript memorization audit: held-out rendered conversations'
+    8-gram overlap with the train split (flatter gate split so hits fire)."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.memorization_conversations(
+        _transcripts(spark, sf_dir), weights=DATACARD_GATE_WEIGHTS
+    )
+
+
 def _q_conv_bpe(spark, sf_dir):
     """BPE tokenizer trained on rendered conversations (the transcript
     corpus's own tokenizer)."""
@@ -873,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
+        "conv_memorization": _q_conv_memorization,
         "mm_decode_stub": _q_mm_decode,
         "mm_embed_topk": _q_mm_embed_topk,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -983,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": OX.corpus_weighted_sample(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
+        "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_embed_topk": OX.mm_embed_topk(),
         "mm_frame_sample": OX.mm_frame_sample(),

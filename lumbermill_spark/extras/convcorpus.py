@@ -378,6 +378,19 @@ def render_sessions(df: DataFrame, gap_us: int = CONV_SESSION_GAP_US) -> DataFra
     )
 
 
+def memorization_conversations(df: DataFrame, weights=None) -> DataFrame:
+    """Transcript twin of textstats.memorization_scan: held-out rendered
+    conversations audited for 8-gram overlap with the train split — did the
+    eval conversations leak into training? Runs over the PREFIX-CAPPED
+    augmented frame (augmented_conversations) so synthetic copies straddle
+    splits and the hit path is value-verified; string conv_id keys hash and
+    split identically on both engines."""
+    from . import textstats
+
+    kwargs = {"weights": weights} if weights else {}
+    return textstats.memorization_scan(augmented_conversations(df), **kwargs)
+
+
 def bpe_conversations(df: DataFrame) -> DataFrame:
     """Tokenizer training ON TRANSCRIPTS: render each conversation and run
     BPE merge induction (textstats.bpe_merges) over the rendered documents

@@ -1299,12 +1299,11 @@ s{r} AS MATERIALIZED (SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY p
     return sql + "\n" + unions
 
 
-def text_memorization(weights=None) -> str:
-    """Replay of extras.textstats.memorization_scan over the AUGMENTED
-    corpus (exact/near copies land in other splits, so the hit path
-    actually fires under the gate): split hash, distinct w-token shingles
-    (the decontaminate formulation), md5 digests, held-out hit counts
-    against the train digest set."""
+def _memorization_body(weights) -> str:
+    """The memorization chain FROM an upstream `docs` CTE (doc_id, text):
+    split hash, distinct w-token shingles (the decontaminate formulation),
+    md5 digests, held-out hit counts against the train digest set. Shared
+    by the documents-table and rendered-conversations replays."""
     from lumbermill_spark.extras import textstats as TSX
 
     w = TSX.MEMO_SHINGLE_W
@@ -1312,7 +1311,6 @@ def text_memorization(weights=None) -> str:
     cut1 = int(w_train * (1 << 32))
     cut2 = int((w_train + w_val) * (1 << 32))
     return f"""
-WITH {AUG_DOCS},
 tok AS (
   SELECT doc_id,
     CASE WHEN {_split_hash(TSX.SPLIT_SALT)} < {cut1} THEN 'train'
@@ -1339,6 +1337,40 @@ SELECT p.doc_id, p.split, p.n_shingles,
   coalesce(h.n_seen, 0)::BIGINT AS n_seen,
   round(coalesce(h.n_seen, 0) / greatest(p.n_shingles, 1), 6) AS seen_frac
 FROM per_doc p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def text_memorization(weights=None) -> str:
+    """Replay of extras.textstats.memorization_scan over the AUGMENTED
+    corpus (exact/near copies land in other splits, so the hit path
+    actually fires under the gate)."""
+    return f"""
+WITH {AUG_DOCS},
+{_memorization_body(weights)}
+"""
+
+
+def conv_memorization(transcripts_path: str, weights=None) -> str:
+    """Replay of extras.convcorpus.memorization_conversations: the
+    AUGMENTED PREFIX-CAPPED rendered conversations (conv_near_dup's docs
+    CTE, string keys) feed the same memorization chain."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH rend AS (
+  SELECT conv_id AS doc_id, substring(rendered, 1, {CC.CONV_DEDUP_PREFIX}) AS text
+  FROM ({conv_render(transcripts_path)})),
+docs AS (
+  SELECT doc_id, text FROM rend
+  UNION ALL
+  SELECT doc_id || '~dup', text FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_DUP_MOD} = 0
+  UNION ALL
+  SELECT doc_id || '~near',
+    substring('{CC.CONV_NEAR_HEADER}' || text, 1, {CC.CONV_DEDUP_PREFIX})
+  FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_NEAR_MOD} = 0),
+{_memorization_body(weights)}
 """
 
 
