@@ -718,6 +718,14 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_corpus_zipf(spark, sf_dir):
+    """Zipf power-law fit of the vocabulary: slope/intercept/r² of the
+    log-log rank-frequency line over the top-100 tokens."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.zipf_fit(_docs(spark, sf_dir))
+
+
 def _q_corpus_weighted_sample(spark, sf_dir):
     """Quality-weighted sampling without replacement (Efraimidis-Spirakis
     keys from deterministic hash uniforms), k per language."""
@@ -881,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
         "text_hll_distinct": _q_text_hll_distinct,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "corpus_zipf": _q_corpus_zipf,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
@@ -992,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom_prefilter": OX.dedup_bloom_prefilter(),
         "text_hll_distinct": OX.text_hll_distinct(),
         "corpus_weighted_sample": OX.corpus_weighted_sample(),
+        "corpus_zipf": OX.corpus_zipf(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),

@@ -2012,3 +2012,62 @@ def weighted_sample(df: DataFrame, k: int = WSAMPLE_K, salt: str = WSAMPLE_SALT)
         d.withColumn("rank", F.row_number().over(wl).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+ZIPF_TOPK = 100  # ranks that enter the log-log fit
+
+
+def zipf_fit(df: DataFrame, k: int = ZIPF_TOPK, text_col: str = "text") -> DataFrame:
+    """Zipf power-law fit of the vocabulary: least-squares slope/intercept/
+    r² of ln(count) against ln(rank) over the top-k tokens — the one-row
+    sanity report a corpus release quotes (natural text sits near slope −1;
+    templated/log corpora drift flatter or steeper). No RNG, no iteration:
+    rank by (count DESC, token), then closed-form least squares.
+
+    Cross-engine float discipline: the five sums (Σx Σy Σxy Σx² Σy²) fold
+    over an array ORDERED BY RANK (collect → array_sort → in-order
+    aggregate), so both engines add identical float64 values in the same
+    sequence; the closed forms are written with the same operation shape on
+    both sides and rounded to 6 dp. Scale shape: one token-count aggregate
+    (corpus-sized, map-side combined), then everything runs on k rows."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    counts = (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-k via distributed TakeOrderedAndProject FIRST; the rank window
+    # then runs on the k survivors only (never a vocab-sized single
+    # partition — the cms_topk discipline)
+    top = counts.orderBy(F.col("c").desc(), "token").limit(k)
+    top = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), "token"))
+    )
+    pts = top.select(
+        "rank", F.log(F.col("rank").cast("double")).alias("x"), F.log(F.col("c").cast("double")).alias("y")
+    )
+    arr = pts.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("rank", "x", "y"))).alias("ps")
+    )
+
+    def _fold(expr):
+        return F.aggregate("ps", F.lit(0.0), lambda acc, p: acc + expr(p))
+
+    s = arr.select(
+        F.size("ps").cast("double").alias("n"),
+        _fold(lambda p: p["x"]).alias("sx"),
+        _fold(lambda p: p["y"]).alias("sy"),
+        _fold(lambda p: p["x"] * p["y"]).alias("sxy"),
+        _fold(lambda p: p["x"] * p["x"]).alias("sxx"),
+        _fold(lambda p: p["y"] * p["y"]).alias("syy"),
+    )
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    deny = s["n"] * s["syy"] - s["sy"] * s["sy"]
+    return s.select(
+        s["n"].cast("int").alias("k"),
+        F.round(num / den, 6).alias("slope"),
+        F.round((s["sy"] - (num / den) * s["sx"]) / s["n"], 6).alias("intercept"),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    )

@@ -1491,6 +1491,37 @@ FROM est
 """
 
 
+def corpus_zipf() -> str:
+    """Replay of extras.textstats.zipf_fit: top-k ranks, rank-ORDERED sum
+    folds, the same closed-form least-squares shapes."""
+    from .extras import textstats as TSX
+
+    k = TSX.ZIPF_TOPK
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+top AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rank
+        FROM counts ORDER BY c DESC, token LIMIT {k}),
+pts AS (SELECT rank, ln(rank::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top),
+arr AS (SELECT list(struct_pack(r := rank, x := x, y := y) ORDER BY rank) AS ps FROM pts),
+s AS (SELECT len(ps)::DOUBLE AS n,
+  list_sum(list_transform(ps, p -> p.x)) AS sx,
+  list_sum(list_transform(ps, p -> p.y)) AS sy,
+  list_sum(list_transform(ps, p -> p.x * p.y)) AS sxy,
+  list_sum(list_transform(ps, p -> p.x * p.x)) AS sxx,
+  list_sum(list_transform(ps, p -> p.y * p.y)) AS syy
+  FROM arr)
+SELECT n::INT AS k,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 def text_cms_topk() -> str:
     """Replay of extras.sketch.cms_topk: the md5-salted hash family rebuilds
     the sketch CELL FOR CELL; min-over-rows estimates, (est DESC, token)

@@ -1611,3 +1611,27 @@ def test_mm_embed_stub_deterministic_and_bounded(spark):
     for r in topk:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_zipf_fit_golden(spark):
+    """On an exactly Zipfian corpus (count ∝ 1/rank) the fit reads slope ≈
+    −1 with r² ≈ 1, and the coefficients equal an independent numpy
+    least-squares to 6 dp."""
+    import numpy as np
+
+    from lumbermill_spark.extras import textstats
+
+    counts = {f"tok{i:03d}": max(1, round(1200 / i)) for i in range(1, 41)}
+    text = " ".join(tok for tok, c in counts.items() for _ in range(c))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = textstats.zipf_fit(df, k=40).collect()[0]
+    assert row["k"] == 40
+    assert -1.05 < row["slope"] < -0.95
+    assert row["r2"] > 0.99
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, 41, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["slope"] - slope) < 1e-6
+    assert abs(row["intercept"] - intercept) < 1e-6
