@@ -718,6 +718,13 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_corpus_len_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram per language with shares."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.length_histogram(_docs(spark, sf_dir))
+
+
 def _q_corpus_zipf(spark, sf_dir):
     """Zipf power-law fit of the vocabulary: slope/intercept/r² of the
     log-log rank-frequency line over the top-100 tokens."""
@@ -890,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_distinct": _q_text_hll_distinct,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "corpus_zipf": _q_corpus_zipf,
+        "corpus_len_histogram": _q_corpus_len_histogram,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
@@ -1002,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hll_distinct": OX.text_hll_distinct(),
         "corpus_weighted_sample": OX.corpus_weighted_sample(),
         "corpus_zipf": OX.corpus_zipf(),
+        "corpus_len_histogram": OX.corpus_len_histogram(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),

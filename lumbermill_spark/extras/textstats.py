@@ -2071,3 +2071,24 @@ def zipf_fit(df: DataFrame, k: int = ZIPF_TOPK, text_col: str = "text") -> DataF
         F.round((s["sy"] - (num / den) * s["sx"]) / s["n"], 6).alias("intercept"),
         F.round((num * num) / (den * deny), 6).alias("r2"),
     )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two length histogram per language: bucket = floor(log2(
+    chars)) (bucket −1 holds empty docs), with per-language doc share
+    (12 dp). The length-distribution panel on every corpus report; one
+    map-side-combined aggregate, a share window on the tiny (lang, bucket)
+    table."""
+    n = F.length(F.col(text_col))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("int")
+    )
+    out = (
+        df.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    wl = Window.partitionBy("lang")
+    return out.withColumn(
+        "lang_frac", F.round(F.col("n_docs") / F.sum("n_docs").over(wl), 12)
+    )

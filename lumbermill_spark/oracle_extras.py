@@ -1491,6 +1491,22 @@ FROM est
 """
 
 
+def corpus_len_histogram() -> str:
+    """Replay of extras.textstats.length_histogram: floor(log2) buckets,
+    per-language share."""
+    return """
+WITH b AS (
+  SELECT lang,
+    CASE WHEN length(text) <= 0 THEN -1
+         ELSE floor(log2(length(text)::DOUBLE))::INT END AS bucket
+  FROM documents),
+c AS (SELECT lang, bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY lang, bucket)
+SELECT lang, bucket, n_docs,
+  round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 12) AS lang_frac
+FROM c
+"""
+
+
 def corpus_zipf() -> str:
     """Replay of extras.textstats.zipf_fit: top-k ranks, rank-ORDERED sum
     folds, the same closed-form least-squares shapes."""

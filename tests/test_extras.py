@@ -1635,3 +1635,26 @@ def test_zipf_fit_golden(spark):
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(row["slope"] - slope) < 1e-6
     assert abs(row["intercept"] - intercept) < 1e-6
+
+
+def test_length_histogram_golden(spark):
+    """Bucket boundaries (empty → -1, 1 char → 0, 2-3 → 1, 1024 → 10) and
+    the per-language shares against a hand computation."""
+    from lumbermill_spark.extras import textstats
+
+    rows = [
+        (0, "", "en"),
+        (1, "a", "en"),
+        (2, "abc", "en"),
+        (3, "x" * 1024, "en"),
+        (4, "yy", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang"], r["bucket"]): r for r in
+           textstats.length_histogram(df).collect()}
+    assert out[("en", -1)]["n_docs"] == 1
+    assert out[("en", 0)]["n_docs"] == 1
+    assert out[("en", 1)]["n_docs"] == 1  # len 3 → floor(log2 3) = 1
+    assert out[("en", 10)]["n_docs"] == 1  # len 1024 → exactly 10
+    assert out[("en", 0)]["lang_frac"] == 0.25
+    assert out[("de", 1)]["lang_frac"] == 1.0
