@@ -663,6 +663,14 @@ def _q_conv_render_sessions(spark, sf_dir):
     return convcorpus.render_sessions(_transcripts(spark, sf_dir))
 
 
+def _q_conv_tool_pagerank(spark, sf_dir):
+    """PageRank over the tool-transition graph: damped power iteration on
+    the bounded tool graph, dangling mass redistributed."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.tool_pagerank(_transcripts(spark, sf_dir))
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level near-dup: MinHash+LSH over prefix-capped rendered
     conversations (+ deterministic synthetic copies), verified pairs with
@@ -890,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": _q_conv_near_dup,
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
+        "conv_tool_pagerank": _q_conv_tool_pagerank,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
         "text_cms_topk": _q_text_cms_topk,
@@ -1003,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_near_dup": OX.conv_near_dup(tp),
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),
+        "conv_tool_pagerank": OX.conv_tool_pagerank(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
         "text_cms_topk": OX.text_cms_topk(),

@@ -419,3 +419,83 @@ def prepare_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
     )
     return textstats.corpus_prepare(rendered)
+
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 10
+
+
+def tool_pagerank(df: DataFrame, d: float = PAGERANK_D, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """PageRank over the tool-transition graph: which tools sit at the
+    center of agent workflows, beyond raw call counts. Nodes are every tool
+    observed on either side of a transition; edge weight src→dst is the
+    transition count normalized by src's out-degree; dangling tools (no
+    outgoing edges) spread their rank uniformly. PAGERANK_ITERS damped
+    power iterations, then (tool, pr 12 dp, rank).
+
+    The corpus-sized work is tool_flow's two bounded exchanges — every
+    iteration runs on the |tools|-row graph. Cross-engine float discipline:
+    each node's incoming mass folds over contributions ORDERED BY source
+    tool, and the dangling mass folds ordered by tool, so both engines add
+    identical float64 sequences; d is kept a float64 literal end to end
+    (never a DECIMAL)."""
+    edges = tool_flow(df).select(
+        F.col("prev_tool").alias("src"),
+        F.col("tool").alias("dst"),
+        "n_transitions",
+    )
+    wsrc = Window.partitionBy("src")
+    edges = edges.select(
+        "src",
+        "dst",
+        (F.col("n_transitions") / F.sum("n_transitions").over(wsrc)).alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("tool"))
+        .unionByName(edges.select(F.col("dst").alias("tool")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    has_out = edges.select(F.col("src").alias("tool")).distinct()
+    dangling = nodes.join(has_out, "tool", "left_anti").localCheckpoint(eager=True)
+
+    ranks = nodes.select("tool", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        dang = (
+            dangling.join(ranks, "tool")
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("tool", "pr"))).alias("ds"))
+            .select(
+                F.coalesce(
+                    F.aggregate("ds", F.lit(0.0), lambda acc, s: acc + s["pr"]), F.lit(0.0)
+                ).alias("dsum")
+            )
+        )
+        contrib = (
+            edges.join(ranks.withColumnRenamed("tool", "src"), "src")
+            .select("dst", "src", (F.col("pr") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.array_sort(F.collect_list(F.struct("src", "c"))).alias("cs"))
+            .select(
+                F.col("dst").alias("tool"),
+                F.aggregate("cs", F.lit(0.0), lambda acc, s: acc + s["c"]).alias("contrib"),
+            )
+        )
+        ranks = (
+            nodes.crossJoin(dang)
+            .join(contrib, "tool", "left")
+            .select(
+                "tool",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.col("dsum") / F.lit(float(n)) + F.coalesce("contrib", F.lit(0.0)))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w_rank = Window.orderBy(F.col("pr").desc(), "tool")
+    return ranks.select(
+        "tool", F.round("pr", 12).alias("pr"), F.row_number().over(w_rank).cast("int").alias("rank")
+    )

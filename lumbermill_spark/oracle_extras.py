@@ -1148,6 +1148,50 @@ FROM r
 """
 
 
+def conv_tool_pagerank(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.tool_pagerank: the verified tool_flow
+    replay supplies edges (UNROUNDED weights recomputed from counts), then
+    PAGERANK_ITERS damped power iterations unrolled as MATERIALIZED CTEs.
+    Every float literal is cast to DOUBLE (the DECIMAL-parse trap) and
+    every mass fold is ORDERED (by src / by tool) to match Spark's
+    array_sort + in-order aggregate bit for bit."""
+    from .extras import convcorpus as CC
+
+    d = f"({CC.PAGERANK_D}::DOUBLE)"
+    sql = f"""
+WITH ed AS MATERIALIZED (
+  SELECT prev_tool AS src, tool AS dst,
+    n_transitions / sum(n_transitions) OVER (PARTITION BY prev_tool) AS w
+  FROM ({conv_tool_flow(transcripts_path)})),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT tool FROM (
+    SELECT src AS tool FROM ed UNION ALL SELECT dst AS tool FROM ed)),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS cnt FROM nodes),
+dangling AS MATERIALIZED (
+  SELECT tool FROM nodes WHERE tool NOT IN (SELECT DISTINCT src FROM ed)),
+r0 AS MATERIALIZED (
+  SELECT tool, (1e0 / cnt) AS pr FROM nodes CROSS JOIN nn)"""
+    for i in range(1, CC.PAGERANK_ITERS + 1):
+        sql += f""",
+dg{i} AS MATERIALIZED (
+  SELECT COALESCE(list_sum(list(r.pr ORDER BY r.tool)), 0e0) AS dsum
+  FROM r{i - 1} r JOIN dangling dd ON dd.tool = r.tool),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS tool, list_sum(list(r.pr * e.w ORDER BY e.src)) AS contrib
+  FROM ed e JOIN r{i - 1} r ON r.tool = e.src GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT n.tool,
+    (1e0 - {d}) / nn.cnt
+    + {d} * (dg.dsum / nn.cnt::DOUBLE + COALESCE(c.contrib, 0e0)) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN dg{i} dg LEFT JOIN c{i} c USING (tool))"""
+    sql += f"""
+SELECT tool, round(pr, 12) AS pr,
+  CAST(row_number() OVER (ORDER BY pr DESC, tool) AS INT) AS rank
+FROM r{CC.PAGERANK_ITERS}
+"""
+    return sql
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first

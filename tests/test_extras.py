@@ -1658,3 +1658,52 @@ def test_length_histogram_golden(spark):
     assert out[("en", 10)]["n_docs"] == 1  # len 1024 → exactly 10
     assert out[("en", 0)]["lang_frac"] == 0.25
     assert out[("de", 1)]["lang_frac"] == 1.0
+
+
+def test_tool_pagerank_golden(spark):
+    """The relational PageRank matches an independent numpy power iteration
+    (same damping, same dangling rule) to 1e-9, conserves total mass, and
+    ranks the hub tool first."""
+    import numpy as np
+
+    from lumbermill_spark.extras import convcorpus
+
+    # c1: a->b->a->c ; c2: a->b ; c3: c->a ; 'd' appears only as a dst
+    rows = [
+        ("c1", 1, "u", "t", "a", None), ("c1", 2, "u", "t", "b", None),
+        ("c1", 3, "u", "t", "a", None), ("c1", 4, "u", "t", "c", None),
+        ("c2", 1, "u", "t", "a", None), ("c2", 2, "u", "t", "b", None),
+        ("c3", 1, "u", "t", "c", None), ("c3", 2, "u", "t", "a", None),
+        ("c4", 1, "u", "t", "a", None), ("c4", 2, "u", "t", "d", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r["tool"]: r for r in convcorpus.tool_pagerank(df).collect()}
+
+    # independent reference
+    edges = {}
+    for conv in ["c1", "c2", "c3", "c4"]:
+        seq = [t for c, _, _, _, t, _ in rows if c == conv]
+        for s, t in zip(seq, seq[1:]):
+            edges[(s, t)] = edges.get((s, t), 0) + 1
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_tot = {}
+    for (s, _), c in edges.items():
+        out_tot[s] = out_tot.get(s, 0) + c
+    pr = np.full(n, 1.0 / n)
+    d = convcorpus.PAGERANK_D
+    for _ in range(convcorpus.PAGERANK_ITERS):
+        new = np.full(n, (1 - d) / n)
+        dang = sum(pr[idx[v]] for v in nodes if v not in out_tot)
+        new += d * dang / n
+        for (s, t), c in edges.items():
+            new[idx[t]] += d * pr[idx[s]] * (c / out_tot[s])
+        pr = new
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert abs(out[v]["pr"] - pr[idx[v]]) < 1e-9, v
+    assert abs(sum(r["pr"] for r in out.values()) - 1.0) < 1e-9
+    assert out[max(nodes, key=lambda v: pr[idx[v]])]["rank"] == 1
