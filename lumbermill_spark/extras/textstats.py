@@ -2092,3 +2092,48 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "lang_frac", F.round(F.col("n_docs") / F.sum("n_docs").over(wl), 12)
     )
+
+
+TFIDF_TOPK = 3  # keywords kept per document
+
+
+def tfidf_keywords(df: DataFrame, k: int = TFIDF_TOPK, text_col: str = "text") -> DataFrame:
+    """TF-IDF keyword extraction: per document, the top-k tokens by
+    tf·idf with idf = ln(N / df) (corpus-frequency damping — stopwords die,
+    discriminative tokens surface). Output (doc_id, token, tf, df, score
+    6 dp, rank), rank ties broken token-ascending.
+
+    Scale shape: one (doc_id, token) count aggregate (map-side combined),
+    one token-level document-frequency aggregate joined back on the token
+    key, a single-row N broadcast, and a doc_id-partitioned rank window —
+    nothing global, nothing Python. The score multiplies tf by one ln()
+    call, both single float64 ops, so 6-dp rounding is engine-stable."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    tf = (
+        df.select("doc_id", F.explode(words).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1551,6 +1551,28 @@ FROM c
 """
 
 
+def text_tfidf_topk() -> str:
+    """Replay of extras.textstats.tfidf_keywords: per-doc term counts,
+    corpus document frequency, tf · ln(N/df), doc-partitioned top-k."""
+    from .extras import textstats as TSX
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY token),
+nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+    round(tf.tf::DOUBLE * ln(nn.n::DOUBLE / dfreq.df::DOUBLE), 6) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nn),
+r AS (SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank FROM scored)
+SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= {TSX.TFIDF_TOPK}
+"""
+
+
 def corpus_zipf() -> str:
     """Replay of extras.textstats.zipf_fit: top-k ranks, rank-ORDERED sum
     folds, the same closed-form least-squares shapes."""

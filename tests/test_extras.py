@@ -1707,3 +1707,28 @@ def test_tool_pagerank_golden(spark):
         assert abs(out[v]["pr"] - pr[idx[v]]) < 1e-9, v
     assert abs(sum(r["pr"] for r in out.values()) - 1.0) < 1e-9
     assert out[max(nodes, key=lambda v: pr[idx[v]])]["rank"] == 1
+
+
+def test_tfidf_keywords_golden(spark):
+    """A corpus-wide stopword scores 0 (df == N), a discriminative token
+    tops its doc, and the scores equal a hand computation."""
+    import math
+
+    from lumbermill_spark.extras import textstats
+
+    rows = [
+        (0, "the cat the cat zebra"),
+        (1, "the dog"),
+        (2, "the bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["token"]): r for r in
+           textstats.tfidf_keywords(df, k=5).collect()}
+    # 'the' appears in all 3 docs: idf = ln(1) = 0 everywhere
+    for i in range(3):
+        assert out[(i, "the")]["score"] == 0.0
+    # doc 0: cat tf=2 df=1 → 2·ln(3); zebra tf=1 df=1 → ln(3)
+    assert out[(0, "cat")]["score"] == round(2 * math.log(3), 6)
+    assert out[(0, "zebra")]["score"] == round(math.log(3), 6)
+    assert out[(0, "cat")]["rank"] == 1 and out[(0, "zebra")]["rank"] == 2
+    assert out[(1, "dog")]["rank"] == 1
