@@ -726,6 +726,14 @@ def _q_conv_bpe(spark, sf_dir):
     return convcorpus.bpe_conversations(_transcripts(spark, sf_dir))
 
 
+def _q_text_pmi_topk(spark, sf_dir):
+    """PMI collocations: top-20 adjacent token pairs by pointwise mutual
+    information with a count floor."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.pmi_collocations(_docs(spark, sf_dir))
+
+
 def _q_text_tfidf_topk(spark, sf_dir):
     """TF-IDF keyword extraction: top-3 tokens per document by tf·ln(N/df)."""
     from lumbermill_spark.extras import textstats
@@ -915,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf": _q_corpus_zipf,
         "corpus_len_histogram": _q_corpus_len_histogram,
         "text_tfidf_topk": _q_text_tfidf_topk,
+        "text_pmi_topk": _q_text_pmi_topk,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
@@ -1030,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_zipf": OX.corpus_zipf(),
         "corpus_len_histogram": OX.corpus_len_histogram(),
         "text_tfidf_topk": OX.text_tfidf_topk(),
+        "text_pmi_topk": OX.text_pmi_topk(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),

@@ -2137,3 +2137,61 @@ def tfidf_keywords(df: DataFrame, k: int = TFIDF_TOPK, text_col: str = "text") -
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+PMI_TOPK = 20
+PMI_MIN_PAIR = 5  # pairs seen fewer times than this are noise, not signal
+
+
+def pmi_collocations(df: DataFrame, k: int = PMI_TOPK, text_col: str = "text") -> DataFrame:
+    """Pointwise-mutual-information collocations: the top-k adjacent token
+    pairs by PMI = ln( p(x,y) / (p(x)·p(y)) ) with a PMI_MIN_PAIR count
+    floor — the classic phrase-discovery pass (Mikolov-style word2phrase)
+    run before tokenization. Output (x, y, pair_n, pmi 6 dp, rank), ties
+    broken (x, y)-ascending.
+
+    Scale shape: one bigram count agg and one unigram count agg (both
+    map-side combined), two token-key joins for the marginals, two
+    single-row totals broadcast, then TakeOrderedAndProject for the top-k —
+    the rank window touches k rows only. The PMI is one ln() over a fixed
+    ratio shape, so 6-dp rounding is engine-stable."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    toks = df.select(F.explode(words).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c1"))
+    n_tot = uni.groupBy().agg(F.sum("c1").cast("bigint").alias("n"))
+    grams = df.select(F.explode(_ngrams(words, 2)).alias("g"))
+    pairs = (
+        grams.select(
+            F.split(F.col("g"), " ")[0].alias("x"), F.split(F.col("g"), " ")[1].alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= PMI_MIN_PAIR)
+    )
+    p_tot = grams.groupBy().agg(F.count("*").cast("bigint").alias("p"))
+    scored = (
+        pairs.join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c1", "cx"), "x")
+        .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c1", "cy"), "y")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "x",
+            "y",
+            "pair_n",
+            F.round(
+                F.log(
+                    (F.col("pair_n").cast("double") / F.col("p").cast("double"))
+                    / (
+                        (F.col("cx").cast("double") / F.col("n").cast("double"))
+                        * (F.col("cy").cast("double") / F.col("n").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "x", "y").limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("pmi").desc(), "x", "y")).cast("int")
+    )

@@ -1573,6 +1573,40 @@ SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= {TSX.TFIDF_TOPK}
 """
 
 
+def text_pmi_topk() -> str:
+    """Replay of extras.textstats.pmi_collocations: bigram + unigram
+    counts, marginal joins, ln of the same ratio shape, global top-k."""
+    from .extras import textstats as TSX
+
+    return f"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''),
+tok AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM tok GROUP BY tok),
+nt AS (SELECT sum(c1)::BIGINT AS n FROM uni),
+g AS (
+  SELECT ws[i] AS x, ws[i+1] AS y
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+pairs AS (
+  SELECT x, y, count(*)::BIGINT AS pair_n FROM g GROUP BY x, y
+  HAVING count(*) >= {TSX.PMI_MIN_PAIR}),
+pt AS (SELECT count(*)::BIGINT AS p FROM g),
+scored AS (
+  SELECT pairs.x, pairs.y, pairs.pair_n,
+    round(ln((pair_n::DOUBLE / pt.p::DOUBLE)
+             / ((ux.c1::DOUBLE / nt.n::DOUBLE) * (uy.c1::DOUBLE / nt.n::DOUBLE))), 6) AS pmi
+  FROM pairs
+  JOIN uni ux ON ux.tok = pairs.x
+  JOIN uni uy ON uy.tok = pairs.y
+  CROSS JOIN nt CROSS JOIN pt),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, x, y) AS INT) AS rank
+      FROM scored ORDER BY pmi DESC, x, y LIMIT {TSX.PMI_TOPK})
+SELECT x, y, pair_n, pmi, rank FROM r
+"""
+
+
 def corpus_zipf() -> str:
     """Replay of extras.textstats.zipf_fit: top-k ranks, rank-ORDERED sum
     folds, the same closed-form least-squares shapes."""

@@ -1732,3 +1732,33 @@ def test_tfidf_keywords_golden(spark):
     assert out[(0, "zebra")]["score"] == round(math.log(3), 6)
     assert out[(0, "cat")]["rank"] == 1 and out[(0, "zebra")]["rank"] == 2
     assert out[(1, "dog")]["rank"] == 1
+
+
+def test_pmi_collocations_golden(spark):
+    """An always-together pair scores the maximum PMI and independent
+    fillers score near zero; scores equal a hand computation."""
+    import math
+
+    from lumbermill_spark.extras import textstats
+
+    # 'new york' always adjacent (6x); filler tokens mixed independently
+    docs = ["new york " + "a b " * 6, "new york " + "b a " * 6,
+            "new york a a b b", "new york b b a a", "new york a b a b",
+            "new york b a b a"]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {(r["x"], r["y"]): r for r in
+           textstats.pmi_collocations(df, k=10).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    # hand PMI: pair_n=6, totals from the corpus
+    toks = " ".join(docs).split()
+    n = len(toks)
+    pair_total = sum(len(d.split()) - 1 for d in docs)
+    cx, cy = toks.count("new"), toks.count("york")
+    exp = round(math.log((6 / pair_total) / ((cx / n) * (cy / n))), 6)
+    assert ny["pmi"] == exp and ny["pair_n"] == 6
+    assert ny["rank"] == 1  # strongest collocation in this corpus
+    # independent fillers: |PMI| far below the collocation's
+    for key in [("a", "b"), ("b", "a")]:
+        if key in out:
+            assert abs(out[key]["pmi"]) < ny["pmi"] / 2
