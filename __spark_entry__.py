@@ -663,6 +663,16 @@ def _q_conv_render_sessions(spark, sf_dir):
     return convcorpus.render_sessions(_transcripts(spark, sf_dir))
 
 
+def _q_conv_redact(spark, sf_dir):
+    """Turn-level PII redaction (anonymization before release) over the
+    PII-augmented transcripts — all three redaction paths fire."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.redact_turns(
+        convcorpus.augment_turn_pii(_transcripts(spark, sf_dir))
+    )
+
+
 def _q_conv_tool_pagerank(spark, sf_dir):
     """PageRank over the tool-transition graph: damped power iteration on
     the bounded tool graph, dangling mass redistributed."""
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
         "conv_tool_pagerank": _q_conv_tool_pagerank,
+        "conv_redact": _q_conv_redact,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
         "text_cms_topk": _q_text_cms_topk,
@@ -1030,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "conv_tool_pagerank": OX.conv_tool_pagerank(tp),
+        "conv_redact": OX.conv_redact(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
         "text_cms_topk": OX.text_cms_topk(),

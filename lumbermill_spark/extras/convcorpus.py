@@ -499,3 +499,47 @@ def tool_pagerank(df: DataFrame, d: float = PAGERANK_D, iters: int = PAGERANK_IT
     return ranks.select(
         "tool", F.round("pr", 12).alias("pr"), F.row_number().over(w_rank).cast("int").alias("rank")
     )
+
+
+CONV_PII_EMAIL_MOD = 11  # turn-level gate augmentation (emails)
+CONV_PII_PHONE_MOD = 17  # turn-level gate augmentation (phones)
+
+
+def augment_turn_pii(df: DataFrame) -> DataFrame:
+    """Deterministic turn-level PII augmentation (the gate convention:
+    router logs carry IPs naturally, but no emails/phones — these CASE
+    appends make every redaction path fire and stay oracle-replayable).
+    Bucket = md5 of 'conv_id#turn_idx'."""
+    b = _conv_bucket(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string")))
+    email = F.when(
+        b % CONV_PII_EMAIL_MOD == 0,
+        F.concat(F.lit(" contact user"), F.col("turn_idx").cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(b % CONV_PII_PHONE_MOD == 0, F.lit(" call 555-123-4567")).otherwise(F.lit(""))
+    return df.withColumn("text", F.concat(F.col("text"), email, phone))
+
+
+def redact_turns(df: DataFrame) -> DataFrame:
+    """Turn-level PII redaction — the anonymization pass a transcript
+    corpus runs before release: the SAME chain and replace ORDER as
+    textstats.redact_pii (emails → IPs → phones; order is contract: an
+    address's host part must never half-match as an IP), keyed by
+    (conv_id, turn_idx). Pure per-row projection: zero shuffle, zero
+    Python, one codegen'd pass over the scan at any corpus size."""
+    from . import textstats as TS
+
+    t = F.col("text")
+    n_emails = F.regexp_count(t, F.lit(TS.EMAIL_RX)).cast("int")
+    red = F.regexp_replace(t, TS.EMAIL_RX, "<EMAIL>")
+    n_ips = F.regexp_count(red, F.lit(TS.IPV4_RX)).cast("int")
+    red = F.regexp_replace(red, TS.IPV4_RX, "<IP>")
+    n_phones = F.regexp_count(red, F.lit(TS.PHONE_RX)).cast("int")
+    red = F.regexp_replace(red, TS.PHONE_RX, "<PHONE>")
+    return df.filter(F.col("conv_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        red.alias("redacted_text"),
+    )

@@ -1192,6 +1192,37 @@ FROM r{CC.PAGERANK_ITERS}
     return sql
 
 
+def conv_redact(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.redact_turns over augment_turn_pii:
+    same bucket hash, same append grammar, same replace ORDER."""
+    from .extras import convcorpus as CC
+    from .extras import textstats as TSX
+
+    b = "('0x'||substring(md5(conv_id || '#' || turn_idx),1,6))::BIGINT"
+    aug = (
+        "text"
+        f" || CASE WHEN {b} % {CC.CONV_PII_EMAIL_MOD} = 0"
+        " THEN ' contact user' || turn_idx || '@example.com' ELSE '' END"
+        f" || CASE WHEN {b} % {CC.CONV_PII_PHONE_MOD} = 0"
+        " THEN ' call 555-123-4567' ELSE '' END"
+    )
+    return f"""
+WITH a AS (
+  SELECT conv_id, turn_idx, {aug} AS t
+  FROM read_parquet('{transcripts_path}') WHERE conv_id IS NOT NULL),
+r1 AS (SELECT conv_id, turn_idx,
+  CAST(len(regexp_extract_all(t, '{TSX.EMAIL_RX}')) AS INT) AS n_emails,
+  regexp_replace(t, '{TSX.EMAIL_RX}', '<EMAIL>', 'g') AS t FROM a),
+r2 AS (SELECT conv_id, turn_idx, n_emails,
+  CAST(len(regexp_extract_all(t, '{TSX.IPV4_RX}')) AS INT) AS n_ips,
+  regexp_replace(t, '{TSX.IPV4_RX}', '<IP>', 'g') AS t FROM r1)
+SELECT conv_id, turn_idx, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t, '{TSX.PHONE_RX}')) AS INT) AS n_phones,
+  regexp_replace(t, '{TSX.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
+FROM r2
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first

@@ -511,3 +511,16 @@ def test_sketch_ops_broadcast_and_bounded(spark):
     # partial_max per bucket must combine map-side BEFORE the global fold
     assert "partial_max" in p_hll or "partial_" in p_hll
     assert "Python" not in p_hll
+
+
+def test_conv_redact_pure_projection(spark):
+    """Turn redaction is a per-row projection: no exchange, no Python."""
+    from lumbermill_spark.extras import convcorpus
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "t 10.0.0.1", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(convcorpus.redact_turns(convcorpus.augment_turn_pii(df)))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
