@@ -663,6 +663,14 @@ def _q_conv_render_sessions(spark, sf_dir):
     return convcorpus.render_sessions(_transcripts(spark, sf_dir))
 
 
+def _q_conv_pack_sessions(spark, sf_dir):
+    """Session-aware shard packing: idle-gap sessions rendered and packed
+    into token-budget shards in deterministic shuffled order."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.pack_sessions(_transcripts(spark, sf_dir))
+
+
 def _q_conv_redact(spark, sf_dir):
     """Turn-level PII redaction (anonymization before release) over the
     PII-augmented transcripts — all three redaction paths fire."""
@@ -925,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_flow": _q_conv_tool_flow,
         "conv_tool_pagerank": _q_conv_tool_pagerank,
         "conv_redact": _q_conv_redact,
+        "conv_pack_sessions": _q_conv_pack_sessions,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_bpe_merges": _q_text_bpe_merges,
         "text_cms_topk": _q_text_cms_topk,
@@ -1042,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "conv_tool_pagerank": OX.conv_tool_pagerank(tp),
         "conv_redact": OX.conv_redact(tp),
+        "conv_pack_sessions": OX.conv_pack_sessions(tp),
         "text_vocab_topk": OX.text_vocab_topk(_TSX.VOCAB_TOPK_K),
         "text_bpe_merges": OX.text_bpe_merges(),
         "text_cms_topk": OX.text_cms_topk(),

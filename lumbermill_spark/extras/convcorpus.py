@@ -391,6 +391,21 @@ def memorization_conversations(df: DataFrame, weights=None) -> DataFrame:
     return textstats.memorization_scan(augmented_conversations(df), **kwargs)
 
 
+def pack_sessions(df: DataFrame) -> DataFrame:
+    """Session-aware shard packing: split conversations at idle gaps,
+    render each SESSION as a document (render_sessions — one exchange), and
+    pack the session documents into token-budget shards in deterministic
+    shuffled order (pack_shards_shuffled over the string session_id keys).
+    The full transcript→training-shards path a context-reset-aware corpus
+    actually ships."""
+    from . import textstats
+
+    rendered = render_sessions(df).select(
+        F.col("session_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.pack_shards_shuffled(rendered)
+
+
 def bpe_conversations(df: DataFrame) -> DataFrame:
     """Tokenizer training ON TRANSCRIPTS: render each conversation and run
     BPE merge induction (textstats.bpe_merges) over the rendered documents

@@ -1223,6 +1223,19 @@ FROM r2
 """
 
 
+def conv_pack_sessions(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.pack_sessions: the documents view is
+    shadowed by the rendered-SESSIONS CTE and the verified shuffled-pack
+    replay is reused verbatim (string session_id keys)."""
+    return f"""
+WITH documents AS (
+  SELECT session_id AS doc_id, rendered AS text
+  FROM ({conv_render_sessions(transcripts_path)})
+)
+SELECT * FROM ({text_pack_shuffled()})
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first
