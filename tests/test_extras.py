@@ -1762,3 +1762,24 @@ def test_pmi_collocations_golden(spark):
     for key in [("a", "b"), ("b", "a")]:
         if key in out:
             assert abs(out[key]["pmi"]) < ny["pmi"] / 2
+
+
+def test_bpe_token_count_equals_alternation(spark):
+    """The decomposed bpe_token_count (runs + translate-counted symbols)
+    equals the original alternation regex on adversarial boundaries."""
+    from lumbermill_spark.extras import textstats
+
+    texts = [
+        "", "   ", "abc", "a-b_c!", "!!!", "a1b2 c3", "x... y,,z",
+        "tab\tnewline\nmix -- 10.0.0.1:443 path=/x?q=1&r=2",
+        "unicode naïve café — em—dash",  # non-ASCII letters count as symbols in BOTH forms
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    from pyspark.sql import functions as FF
+
+    old = FF.regexp_count(FF.col("text"), FF.lit(textstats.BPE_TOKEN_PAT)).cast("int")
+    rows = df.select(
+        old.alias("old"), textstats.bpe_token_count(FF.col("text")).alias("new")
+    ).collect()
+    for r in rows:
+        assert r["old"] == r["new"], r
