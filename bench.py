@@ -179,6 +179,10 @@ def main() -> None:
     timed("conv_turn_taking", lambda: noopw(convcorpus.turn_taking(df)))
     timed("conv_tool_flow", lambda: noopw(convcorpus.tool_flow(df)))
     timed("conv_near_dup", lambda: noopw(convcorpus.near_dup_conversations(df)))
+    timed("conv_sessions", lambda: noopw(convcorpus.session_split(df)))
+    timed("conv_render_sessions", lambda: noopw(convcorpus.render_sessions(df)))
+    timed("conv_pack_sessions", lambda: noopw(convcorpus.pack_sessions(df)))
+    timed("conv_tool_pagerank", lambda: noopw(convcorpus.tool_pagerank(df)))
     timed("text_vocab_topk", lambda: noopw(textstats.vocab_topk(docs)))
     pca_model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
     timed("sim_pca_project", lambda: noopw(similarity.project_pca(embeds, pca_model)))
@@ -187,6 +191,11 @@ def main() -> None:
     from lumbermill_spark.extras import sketch
     timed("text_cms_topk", lambda: noopw(sketch.cms_topk(docs)))
     timed("text_hll_distinct", lambda: noopw(sketch.hll_distinct(docs)))
+    timed("corpus_zipf", lambda: noopw(textstats.zipf_fit(docs)))
+    timed("corpus_len_histogram", lambda: noopw(textstats.length_histogram(docs)))
+    timed("text_tfidf_topk", lambda: noopw(textstats.tfidf_keywords(docs)))
+    timed("text_pmi_topk", lambda: noopw(textstats.pmi_collocations(docs)))
+    timed("corpus_weighted_sample", lambda: noopw(textstats.weighted_sample(docs)))
     # tokenizer training is the one iterative op: 8 driver-coordinated
     # rounds — a single run is representative (each round is itself many
     # tasks), three would dominate the bench wall
