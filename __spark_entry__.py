@@ -285,6 +285,15 @@ def _q_sim_pca_project(spark, sf_dir):
     return similarity.project_pca(_embeds(spark, sf_dir), model)
 
 
+def _q_sim_ivf_cells(spark, sf_dir):
+    """Quantizer-balance diagnostic: occupancy per trained IVF cell under
+    nearest-1 assignment — the shuffle-skew early warning."""
+    from lumbermill_spark.extras import similarity
+
+    cents = spark.read.parquet(similarity.ensure_trained_centroids(sf_dir)).select("cid", "cv")
+    return similarity.ivf_cell_stats(_embeds(spark, sf_dir), cents)
+
+
 def _q_sim_ivf_trained(spark, sf_dir):
     """IVF ANN against the PERSISTED trained quantizer (offline spherical
     k-means, seeded): the artifact parquet is the contract both this query
@@ -884,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_pca_project": _q_sim_pca_project,
+        "sim_ivf_cells": _q_sim_ivf_cells,
         "sim_ivf_trained": _q_sim_ivf_trained,
         "sim_pq_topk": _q_sim_pq_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
@@ -1000,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         # exists regardless of whether the oracle or the query runs first
         "sim_ivf_trained": OX.sim_ivf_trained(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
         "sim_pca_project": OX.sim_pca_project(_SIM.ensure_pca_model(SF_ORACLE_DIR)),
+        "sim_ivf_cells": OX.sim_ivf_cells(_SIM.ensure_trained_centroids(SF_ORACLE_DIR)),
         "sim_pq_topk": OX.sim_pq_topk(_SIM.ensure_pq_codebooks(SF_ORACLE_DIR)),
         "sim_ivfpq_topk": OX.sim_ivfpq_topk(
             _SIM.ensure_trained_centroids(SF_ORACLE_DIR),

@@ -378,6 +378,23 @@ FROM r WHERE rank <= {SIM.IVF_TOPK}
 """
 
 
+def sim_ivf_cells(centroids_path: str) -> str:
+    """Replay of extras.similarity.ivf_cell_stats against the trained
+    quantizer artifact: nearest-1 assignment, occupancy per cell — the skew
+    diagnostic (a hot cell is a hot shuffle partition)."""
+    cos_vc = _cos("e.v", "c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+c AS (SELECT cid, cv FROM read_parquet('{centroids_path}')),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cid ASC) AS r
+    FROM e, c) WHERE r = 1)
+SELECT cid, count(*)::BIGINT AS n FROM a GROUP BY cid
+"""
+
+
 def _bucket_sql(col: str) -> str:
     return " || ".join(
         f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SIM.SIGN_BITS)
