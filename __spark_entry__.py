@@ -745,6 +745,16 @@ def _q_conv_memorization(spark, sf_dir):
     )
 
 
+def _q_conv_datacard(spark, sf_dir):
+    """Transcript release report: per (pred_lang, split) data card over
+    rendered conversations (flatter gate split so leakage can fire)."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.datacard_conversations(
+        _transcripts(spark, sf_dir), weights=DATACARD_GATE_WEIGHTS
+    )
+
+
 def _q_conv_bpe(spark, sf_dir):
     """BPE tokenizer trained on rendered conversations (the transcript
     corpus's own tokenizer)."""
@@ -957,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
+        "conv_datacard": _q_conv_datacard,
         "mm_decode_stub": _q_mm_decode,
         "mm_embed_topk": _q_mm_embed_topk,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1076,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),
+        "conv_datacard": OX.conv_datacard(tp, weights=DATACARD_GATE_WEIGHTS),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_embed_topk": OX.mm_embed_topk(),
         "mm_frame_sample": OX.mm_frame_sample(),

@@ -406,6 +406,25 @@ def pack_sessions(df: DataFrame) -> DataFrame:
     return textstats.pack_shards_shuffled(rendered)
 
 
+def datacard_conversations(df: DataFrame, weights=None) -> DataFrame:
+    """The transcript release report: render each conversation, predict its
+    language with the standard n-gram langid, and run the fused data card
+    (docs, tokens, exact percentiles, mean quality, duplicates, cross-split
+    leakage) per (pred_lang, split). Same two-exchange shape as the
+    documents data card on top of render's conv_id exchange; the langid is
+    a pure projection riding between them."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    d = textstats.with_langid(rendered).select(
+        "doc_id", "text", F.col("pred_lang").alias("lang")
+    )
+    kwargs = {"weights": weights} if weights else {}
+    return textstats.corpus_datacard(d, **kwargs)
+
+
 def bpe_conversations(df: DataFrame) -> DataFrame:
     """Tokenizer training ON TRANSCRIPTS: render each conversation and run
     BPE merge induction (textstats.bpe_merges) over the rendered documents

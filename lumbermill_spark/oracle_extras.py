@@ -1309,10 +1309,12 @@ FROM e CROSS JOIN mu CROSS JOIN c
 """
 
 
-def corpus_datacard(weights=TS.DEFAULT_SPLIT_WEIGHTS) -> str:
-    """Replay of extras.textstats.corpus_datacard: inlined split hash,
-    fingerprint-window dup/leak flags, per-(lang, split) rollups. The mean
-    quality replays the e6-integer trick so the group sum is exact."""
+def _datacard_body(weights) -> str:
+    """The data-card chain FROM an upstream `docs` CTE (doc_id, lang,
+    text): inlined split hash, fingerprint-window dup/leak flags,
+    per-(lang, split) rollups. The mean quality replays the e6-integer
+    trick so the group sum is exact. Shared by the documents-table and
+    rendered-conversations replays."""
     w_train, w_val, _ = weights
     cut1 = int(w_train * (1 << 32))
     cut2 = int((w_train + w_val) * (1 << 32))
@@ -1329,7 +1331,6 @@ def corpus_datacard(weights=TS.DEFAULT_SPLIT_WEIGHTS) -> str:
         f" + 0.25 * ({stop}) + 0.25 * least({ntok} / 100.0, 1.0)"
     )
     return f"""
-WITH {AUG_DOCS},
 b AS (
   SELECT lang,
     CASE WHEN {_split_hash(TS.SPLIT_SALT)} < {cut1} THEN 'train'
@@ -1354,6 +1355,39 @@ SELECT lang, split,
   sum(dup::INT)::BIGINT AS dup_docs,
   sum(leak::INT)::BIGINT AS leaked_docs
 FROM w GROUP BY lang, split
+"""
+
+
+def corpus_datacard(weights=TS.DEFAULT_SPLIT_WEIGHTS) -> str:
+    """Replay of extras.textstats.corpus_datacard over the augmented
+    corpus."""
+    return f"""
+WITH {AUG_DOCS},
+{_datacard_body(weights)}
+"""
+
+
+def conv_datacard(transcripts_path: str, weights=TS.DEFAULT_SPLIT_WEIGHTS) -> str:
+    """Replay of extras.convcorpus.datacard_conversations: rendered
+    conversations with the verified langid predictor supplying `lang`,
+    feeding the shared data-card body (string conv_id keys)."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{TSX.stopword_pat(lang)}'))"
+        for lang in TSX.LANG_ORDER
+    }
+    g = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(f"WHEN {scores[lang]} = {g} THEN '{lang}'" for lang in TSX.LANG_ORDER)
+    return f"""
+WITH rend AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END AS lang,
+    text
+  FROM rend),
+{_datacard_body(weights)}
 """
 
 
