@@ -448,3 +448,52 @@ def cms_view(spark: SparkSession, out_dir: str) -> DataFrame:
     freshness_view)."""
     cells = spark.read.parquet(os.path.join(out_dir, "cms_cells"))
     return cells.groupBy("row", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def start_bloom_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming bloom-filter build over the transcript text stream: each
+    micro-batch writes its fingerprints' SET BITS partitioned by batch_id
+    (dynamic-overwrite, retry-idempotent), and the live filter is the
+    DISTINCT UNION of bits across batches — bloom's merge is bitwise OR, so
+    the drained stream's folded filter EQUALS the batch-built filter
+    (pytest-pinned), with at most BLOOM_BITS live rows no matter how long
+    the stream runs. The day-2 use: the filter built from everything
+    ingested so far pre-screens tomorrow's crawl before the exact
+    anti-join (sketch.bloom_prefilter)."""
+    from .extras import sketch, textstats
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        fps = df.filter(F.col("conv_id").isNotNull()).select(
+            textstats.fingerprint(F.col("text")).alias("fingerprint")
+        )
+        (
+            sketch.bloom_build(fps)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "bloom_bits"))
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch)
+    return _start(
+        writer, out_dir, "_bloom_checkpoint", checkpoint_dir, available_now, trigger_seconds
+    )
+
+
+def bloom_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged live filter: distinct set bits across micro-batch
+    partials (bitwise OR, relationally)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "bloom_bits")).select("pos").distinct()
+    )

@@ -453,3 +453,25 @@ def test_cms_stream_matches_batch(spark, stream_input, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/cms_cells/batch_id=*")) >= 2
+
+
+def test_bloom_stream_matches_batch(spark, stream_input, tmp_path):
+    """Bloom mergeability end-to-end: the distinct union of per-micro-batch
+    set bits equals the batch-built filter exactly."""
+    from lumbermill_spark.extras import sketch, textstats
+    from pyspark.sql import functions as FF
+
+    out = str(tmp_path / "bloom_out")
+    q = streaming.start_bloom_stream(
+        spark, stream_input, out, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {r["pos"] for r in streaming.bloom_view(spark, out).collect()}
+    fps = (
+        spark.read.parquet(stream_input)
+        .filter(FF.col("conv_id").isNotNull())
+        .select(textstats.fingerprint(FF.col("text")).alias("fingerprint"))
+    )
+    want = {r["pos"] for r in sketch.bloom_build(fps).collect()}
+    assert got == want and len(got) > 0
