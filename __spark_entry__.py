@@ -771,6 +771,14 @@ def _q_text_pmi_topk(spark, sf_dir):
     return textstats.pmi_collocations(_docs(spark, sf_dir))
 
 
+def _q_text_kn_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (KenLM's default smoothing):
+    absolute discount + continuation-count backoff."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.kn_logprob(_docs(spark, sf_dir), vocab_k=16)
+
+
 def _q_text_tfidf_topk(spark, sf_dir):
     """TF-IDF keyword extraction: top-3 tokens per document by tf·ln(N/df)."""
     from lumbermill_spark.extras import textstats
@@ -964,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_len_histogram": _q_corpus_len_histogram,
         "text_tfidf_topk": _q_text_tfidf_topk,
         "text_pmi_topk": _q_text_pmi_topk,
+        "text_kn_logprob": _q_text_kn_logprob,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
@@ -1084,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_len_histogram": OX.corpus_len_histogram(),
         "text_tfidf_topk": OX.text_tfidf_topk(),
         "text_pmi_topk": OX.text_pmi_topk(),
+        "text_kn_logprob": OX.text_kn_logprob(16),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),

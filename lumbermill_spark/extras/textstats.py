@@ -2210,3 +2210,97 @@ def pmi_collocations(df: DataFrame, k: int = PMI_TOPK, text_col: str = "text") -
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("pmi").desc(), "x", "y")).cast("int")
     )
+
+
+KN_DISCOUNT = 0.75  # the standard Kneser-Ney absolute discount
+
+
+def kn_logprob(
+    df: DataFrame, vocab_k: int = BIGRAM_VOCAB_K, text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing that actually
+    ships in n-gram LMs (KenLM's default), completing the LM suite
+    (add-one unigram/bigram, stupid-backoff trigram):
+
+        p(w|v) = max(c(vw) − D, 0)/c(v)  +  D·N1+(v·)/c(v) · N1+(·w)/B
+
+    with D = KN_DISCOUNT, N1+(v·)/N1+(·w) the distinct-continuation counts
+    and B the distinct bigram types — the continuation distribution scores
+    how many CONTEXTS a word completes, not how often it occurs. Same
+    contract as bigram_logprob: (doc_id, n_tokens, n_unk, avg_logprob 6 dp;
+    12-dp per-bigram rounding before the mean). All counts are integers
+    from one <unk>-collapsed bigram table; the float shape is fixed and
+    mirrored in the oracle. B and |vocab| are K-bounded driver scalars."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    pairs = df.select("doc_id", toks.alias("_ts")).select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(f"transform(_ts, (x, i) -> struct(if(i = 0, '{BOS}', _ts[i-1]) AS p, x AS c))")
+        ).alias("_pr"),
+    ).select("doc_id", F.col("_pr.p").alias("prev_raw"), F.col("_pr.c").alias("cur_raw"))
+
+    vocab = (
+        pairs.filter(F.col("cur_raw").isNotNull())
+        .groupBy("cur_raw")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("cur_raw"))
+        .limit(vocab_k)
+        .select(F.col("cur_raw").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    vc = F.broadcast(vocab.select(F.col("tok").alias("cur_raw"), F.lit(True).alias("_cv")))
+    vp = F.broadcast(vocab.select(F.col("tok").alias("prev_raw"), F.lit(True).alias("_pv")))
+    m = (
+        pairs.join(vc, "cur_raw", "left")
+        .join(vp, "prev_raw", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("prev_raw").isNull(), None)
+            .when(F.col("prev_raw") == BOS, F.lit(BOS))
+            .when(F.col("_pv"), F.col("prev_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("prev_m"),
+            F.when(F.col("cur_raw").isNull(), None)
+            .when(F.col("_cv"), F.col("cur_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("cur_m"),
+        )
+    )
+    bc = (
+        m.filter(F.col("cur_m").isNotNull())
+        .groupBy("prev_m", "cur_m")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    cc = bc.groupBy("prev_m").agg(
+        F.sum("cb").cast("long").alias("ct"), F.count("*").cast("long").alias("n1f")
+    )
+    cont = bc.groupBy("cur_m").agg(F.count("*").cast("long").alias("n1b"))
+    b_types = float(bc.count())
+    d = KN_DISCOUNT
+    pkn = (
+        F.greatest(F.col("cb") - F.lit(d), F.lit(0.0)) / F.col("ct")
+        + (F.lit(d) * F.col("n1f") / F.col("ct")) * (F.col("n1b") / F.lit(b_types))
+    )
+    scored = (
+        m.join(bc, ["prev_m", "cur_m"])
+        .join(F.broadcast(cc), "prev_m")
+        .join(F.broadcast(cont), "cur_m")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum(F.when(F.col("cur_m") == UNK, 1).otherwise(0)).alias("_nu"),
+            F.avg(F.round(F.log(pkn), 12)).alias("_alp"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("_nu"), F.lit(0)).cast("int").alias("n_unk"),
+            F.round(F.col("_alp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -920,6 +920,53 @@ FROM documents d LEFT JOIN scored USING (doc_id)
 """
 
 
+def text_kn_logprob(vocab_k: int) -> str:
+    """Replay of extras.textstats.kn_logprob: same <unk>-collapsed bigram
+    table, continuation counts, and the exact interpolated-KN float shape
+    (discount as ::DOUBLE; 12-dp per-bigram rounding before the mean)."""
+    from .extras import textstats as TSX
+
+    d = f"({TSX.KN_DISCOUNT}::DOUBLE)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+    CASE WHEN i = 1 THEN '{TS.BOS}' ELSE ts[i - 1] END AS prev_raw,
+    ts[i] AS cur_raw
+  FROM tok, unnest(generate_series(1, len(ts))) u(i)),
+vocab AS (
+  SELECT cur_raw AS tok FROM pairs GROUP BY cur_raw
+  ORDER BY count(*) DESC, cur_raw LIMIT {vocab_k}),
+m AS (
+  SELECT doc_id,
+    CASE WHEN prev_raw = '{TS.BOS}' THEN '{TS.BOS}'
+         WHEN prev_raw IN (SELECT tok FROM vocab) THEN prev_raw
+         ELSE '{TS.UNK}' END AS prev_m,
+    CASE WHEN cur_raw IN (SELECT tok FROM vocab) THEN cur_raw
+         ELSE '{TS.UNK}' END AS cur_m
+  FROM pairs),
+bc AS MATERIALIZED (SELECT prev_m, cur_m, count(*) AS cb FROM m GROUP BY 1, 2),
+cc AS (SELECT prev_m, sum(cb)::BIGINT AS ct, count(*)::BIGINT AS n1f FROM bc GROUP BY 1),
+cont AS (SELECT cur_m, count(*)::BIGINT AS n1b FROM bc GROUP BY 1),
+bt AS (SELECT count(*)::DOUBLE AS b FROM bc),
+scored AS (
+  SELECT doc_id, count(*) AS nt,
+    sum(CASE WHEN cur_m = '{TS.UNK}' THEN 1 ELSE 0 END) AS nu,
+    avg(round(ln(
+      greatest(cb - {d}, 0e0) / ct + (({d} * n1f) / ct) * (n1b / b)
+    ), 12)) AS alp
+  FROM m JOIN bc USING (prev_m, cur_m) JOIN cc USING (prev_m)
+  JOIN cont USING (cur_m) CROSS JOIN bt
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(nt, 0)::INT AS n_tokens, coalesce(nu, 0)::INT AS n_unk,
+  round(alp, 6) AS avg_logprob
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 def _curate_fragments() -> tuple[str, str, str]:
     """(n_ws expr, reasons expr, keep expr) for the curation rules — shared
     by corpus_curate and corpus_prepare, mirroring TS._curate_checks."""

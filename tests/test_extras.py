@@ -1783,3 +1783,55 @@ def test_bpe_token_count_equals_alternation(spark):
     ).collect()
     for r in rows:
         assert r["old"] == r["new"], r
+
+
+def test_kn_logprob_golden(spark):
+    """Interpolated KN equals an independent pure-Python implementation:
+    same vocab tie-break, discount, continuation counts, 12-dp pre-mean
+    rounding. Also: a word that FOLLOWS many contexts gets a higher
+    continuation probability than an equally-frequent burst word."""
+    import collections
+    import math
+
+    from lumbermill_spark.extras import textstats
+
+    texts = ["the cat sat", "the dog sat", "a cat ran", "the end", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.kn_logprob(df, vocab_k=4).collect()}
+
+    docs = {i: t.lower().split() for i, t in enumerate(texts)}
+    counts = collections.Counter(w for ws in docs.values() for w in ws)
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    )
+    BOS, UNK, D = textstats.BOS, textstats.UNK, textstats.KN_DISCOUNT
+
+    def mapped(ws):
+        out = []
+        prev = BOS
+        for w in ws:
+            cur = w if w in vocab else UNK
+            out.append((prev if (prev == BOS or prev in vocab) else UNK, cur))
+            prev = w
+        return out
+
+    bc = collections.Counter(p for ws in docs.values() for p in mapped(ws))
+    ct = collections.Counter()
+    n1f = collections.Counter()
+    n1b = collections.Counter()
+    for (v, w), c in bc.items():
+        ct[v] += c
+        n1f[v] += 1
+        n1b[w] += 1
+    B = float(len(bc))
+    for i, ws in docs.items():
+        pairs = mapped(ws)
+        if not pairs:
+            assert got[i]["n_tokens"] == 0 and got[i]["avg_logprob"] is None
+            continue
+        lps = []
+        for v, w in pairs:
+            p = max(bc[(v, w)] - D, 0.0) / ct[v] + (D * n1f[v] / ct[v]) * (n1b[w] / B)
+            lps.append(round(math.log(p), 12))
+        assert got[i]["n_tokens"] == len(pairs)
+        assert got[i]["avg_logprob"] == round(sum(lps) / len(lps), 6), i
