@@ -771,6 +771,14 @@ def _q_text_pmi_topk(spark, sf_dir):
     return textstats.pmi_collocations(_docs(spark, sf_dir))
 
 
+def _q_text_langid_confusion(spark, sf_dir):
+    """Langid accuracy report: confusion counts + per-true-language recall
+    shares against the labeled lang column."""
+    from lumbermill_spark.extras import textstats
+
+    return textstats.langid_confusion(_docs(spark, sf_dir))
+
+
 def _q_text_kn_logprob(spark, sf_dir):
     """Interpolated Kneser-Ney bigram scoring (KenLM's default smoothing):
     absolute discount + continuation-count backoff."""
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_text_tfidf_topk,
         "text_pmi_topk": _q_text_pmi_topk,
         "text_kn_logprob": _q_text_kn_logprob,
+        "text_langid_confusion": _q_text_langid_confusion,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
         "conv_memorization": _q_conv_memorization,
@@ -1094,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": OX.text_tfidf_topk(),
         "text_pmi_topk": OX.text_pmi_topk(),
         "text_kn_logprob": OX.text_kn_logprob(16),
+        "text_langid_confusion": OX.text_langid_confusion(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),

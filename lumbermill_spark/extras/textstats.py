@@ -2304,3 +2304,22 @@ def kn_logprob(
             F.round(F.col("_alp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classifier-evaluation report for the n-gram langid against the
+    corpus's labeled `lang` column: confusion counts per (lang, pred_lang)
+    with per-true-language recall share (12 dp) — the accuracy table a
+    pipeline publishes before trusting its language router. One langid
+    projection + one tiny (lang, pred) aggregate + a share window on the
+    |langs|² table."""
+    d = with_langid(df, text_col=text_col).select("lang", "pred_lang")
+    out = d.groupBy("lang", "pred_lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    wl = Window.partitionBy("lang")
+    return out.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wl), 12).alias("recall_share"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )

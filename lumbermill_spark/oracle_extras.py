@@ -920,6 +920,28 @@ FROM documents d LEFT JOIN scored USING (doc_id)
 """
 
 
+def text_langid_confusion() -> str:
+    """Replay of extras.textstats.langid_confusion: the verified langid
+    CASE + (lang, pred) counts + per-true-lang recall share."""
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{TS.stopword_pat(lang)}'))"
+        for lang in TS.LANG_ORDER
+    }
+    g = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(f"WHEN {scores[lang]} = {g} THEN '{lang}'" for lang in TS.LANG_ORDER)
+    return f"""
+WITH p AS (
+  SELECT lang,
+    CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END AS pred_lang
+  FROM documents),
+c AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n_docs,
+  round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 12) AS recall_share,
+  lang = pred_lang AS correct
+FROM c
+"""
+
+
 def text_kn_logprob(vocab_k: int) -> str:
     """Replay of extras.textstats.kn_logprob: same <unk>-collapsed bigram
     table, continuation counts, and the exact interpolated-KN float shape
