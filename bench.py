@@ -196,6 +196,8 @@ def main() -> None:
     timed("text_tfidf_topk", lambda: noopw(textstats.tfidf_keywords(docs)))
     timed("text_pmi_topk", lambda: noopw(textstats.pmi_collocations(docs)))
     timed("corpus_weighted_sample", lambda: noopw(textstats.weighted_sample(docs)))
+    timed("text_kn_logprob", lambda: noopw(textstats.kn_logprob(docs, vocab_k=16)))
+    timed("text_langid_confusion", lambda: noopw(textstats.langid_confusion(docs)))
     # tokenizer training is the one iterative op: 8 driver-coordinated
     # rounds — a single run is representative (each round is itself many
     # tasks), three would dominate the bench wall
