@@ -497,3 +497,57 @@ def bloom_view(spark: SparkSession, out_dir: str) -> DataFrame:
     return (
         spark.read.parquet(os.path.join(out_dir, "bloom_bits")).select("pos").distinct()
     )
+
+
+def start_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming HyperLogLog over the transcript token stream: each
+    micro-batch writes its own REGISTER partials (batch_id
+    dynamic-overwrite, retry-idempotent) and the live sketch is the
+    per-register MAX across batches — HLL's merge operator — so the drained
+    stream's folded registers EQUAL the batch-built registers exactly
+    (pytest-pinned). Completes the streaming sketch trio: CMS merges by
+    cell-wise ADD, bloom by bit OR, HLL by register MAX; each keeps bounded
+    state at any stream length."""
+    from .extras import sketch
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        toks = sketch._tokens(df, "text")
+        h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        d = toks.select(
+            (h % sketch.HLL_REGISTERS).cast("int").alias("bucket"),
+            F.shiftright(h, sketch.HLL_P).alias("rest"),
+        )
+        rank = F.when(F.col("rest") == 0, F.lit(32 - sketch.HLL_P + 1)).otherwise(
+            32 - sketch.HLL_P - F.floor(F.log2("rest"))
+        )
+        (
+            d.groupBy("bucket")
+            .agg(F.max(rank).cast("int").alias("reg"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "hll_regs"))
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch)
+    return _start(
+        writer, out_dir, "_hll_checkpoint", checkpoint_dir, available_now, trigger_seconds
+    )
+
+
+def hll_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged live registers: per-bucket max across micro-batch
+    partials."""
+    regs = spark.read.parquet(os.path.join(out_dir, "hll_regs"))
+    return regs.groupBy("bucket").agg(F.max("reg").cast("int").alias("reg"))

@@ -475,3 +475,34 @@ def test_bloom_stream_matches_batch(spark, stream_input, tmp_path):
     )
     want = {r["pos"] for r in sketch.bloom_build(fps).collect()}
     assert got == want and len(got) > 0
+
+
+def test_hll_stream_matches_batch(spark, stream_input, tmp_path):
+    """HLL mergeability end-to-end: per-register max across micro-batch
+    partials equals the batch-built registers exactly."""
+    from pyspark.sql import functions as FF
+
+    from lumbermill_spark.extras import sketch
+
+    out = str(tmp_path / "hll_out")
+    q = streaming.start_hll_stream(
+        spark, stream_input, out, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {(r["bucket"], r["reg"]) for r in streaming.hll_view(spark, out).collect()}
+
+    toks = sketch._tokens(spark.read.parquet(stream_input), "text")
+    h = FF.conv(FF.substring(FF.md5("token"), 1, 8), 16, 10).cast("bigint")
+    d = toks.select(
+        (h % sketch.HLL_REGISTERS).cast("int").alias("bucket"),
+        FF.shiftright(h, sketch.HLL_P).alias("rest"),
+    )
+    rank = FF.when(FF.col("rest") == 0, FF.lit(32 - sketch.HLL_P + 1)).otherwise(
+        32 - sketch.HLL_P - FF.floor(FF.log2("rest"))
+    )
+    want = {
+        (r["bucket"], r["reg"])
+        for r in d.groupBy("bucket").agg(FF.max(rank).cast("int").alias("reg")).collect()
+    }
+    assert got == want and len(got) > 0
