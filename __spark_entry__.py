@@ -680,6 +680,14 @@ def _q_conv_pack_sessions(spark, sf_dir):
     return convcorpus.pack_sessions(_transcripts(spark, sf_dir))
 
 
+def _q_conv_dup_clusters(spark, sf_dir):
+    """Conversation duplicate clusters: connected components over the
+    near-dup pair graph with string conv_id labels."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.dup_clusters_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_conv_redact(spark, sf_dir):
     """Turn-level PII redaction (anonymization before release) over the
     PII-augmented transcripts — all three redaction paths fire."""
@@ -965,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sessions": _q_conv_sessions,
         "conv_render_sessions": _q_conv_render_sessions,
         "conv_near_dup": _q_conv_near_dup,
+        "conv_dup_clusters": _q_conv_dup_clusters,
         "conv_turn_taking": _q_conv_turn_taking,
         "conv_tool_flow": _q_conv_tool_flow,
         "conv_tool_pagerank": _q_conv_tool_pagerank,
@@ -1087,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_sessions": OX.conv_sessions(tp),
         "conv_render_sessions": OX.conv_render_sessions(tp),
         "conv_near_dup": OX.conv_near_dup(tp),
+        "conv_dup_clusters": OX.conv_dup_clusters(tp),
         "conv_turn_taking": OX.conv_turn_taking(tp),
         "conv_tool_flow": OX.conv_tool_flow(tp),
         "conv_tool_pagerank": OX.conv_tool_pagerank(tp),

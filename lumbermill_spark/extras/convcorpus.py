@@ -577,3 +577,60 @@ def redact_turns(df: DataFrame) -> DataFrame:
         n_phones.alias("n_phones"),
         red.alias("redacted_text"),
     )
+
+
+def dup_clusters_conversations(df: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate CLUSTERS over the conversation near-dup graph: min-label
+    propagation with STRING conv_id labels (the lexicographic min reachable
+    id is the cluster id; every augmented conversation gets a row,
+    singletons are their own cluster). Same algorithm as
+    dedup.connected_components but with an exact CHANGE-COUNT fixpoint test
+    instead of the numeric sum(cluster_id) check (string labels have no
+    strictly-decreasing scalar). Near-dup components have tiny diameter, so
+    convergence is 2-3 rounds; lineage is truncated by eager checkpoints
+    per round."""
+    from . import dedup as _  # noqa: F401 — algorithmic parity documented above
+
+    pairs = near_dup_conversations(df).select("doc_a", "doc_b")
+    nodes = augmented_conversations(df).select("doc_id").distinct()
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _round in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_nl")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("_nl").alias("_nbr_min"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.select("doc_id", F.col("cluster_id").alias("_new"))
+            .join(labels, "doc_id")
+            .filter(F.col("_new") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -1322,6 +1322,42 @@ SELECT * FROM ({text_pack_shuffled()})
 """
 
 
+def conv_dup_clusters(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.dup_clusters_conversations: transitive
+    closure (recursive CTE) over the conv near-dup pair graph, min VARCHAR
+    label per component — the same fixpoint min-label propagation reaches."""
+    from .extras import convcorpus as CC
+
+    return f"""
+WITH RECURSIVE rend AS (
+  SELECT conv_id AS doc_id, substring(rendered, 1, {CC.CONV_DEDUP_PREFIX}) AS text
+  FROM ({conv_render(transcripts_path)})),
+docs AS (
+  SELECT doc_id, text FROM rend
+  UNION ALL
+  SELECT doc_id || '~dup', text FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_DUP_MOD} = 0
+  UNION ALL
+  SELECT doc_id || '~near',
+    substring('{CC.CONV_NEAR_HEADER}' || text, 1, {CC.CONV_DEDUP_PREFIX})
+  FROM rend
+  WHERE ('0x'||substring(md5(doc_id),1,6))::BIGINT % {CC.CONV_NEAR_MOD} = 0),
+{_minhash_cte()},
+{_minhash_pairs_cte()},
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM prs),
+nodes AS MATERIALIZED (SELECT doc_id FROM docs),
+reach(s, t) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first

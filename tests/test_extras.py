@@ -1835,3 +1835,26 @@ def test_kn_logprob_golden(spark):
             lps.append(round(math.log(p), 12))
         assert got[i]["n_tokens"] == len(pairs)
         assert got[i]["avg_logprob"] == round(sum(lps) / len(lps), 6), i
+
+
+def test_conv_dup_clusters_golden(spark):
+    """A chain a~b, b~c must collapse to ONE cluster labeled by the
+    lexicographic min id (multi-hop propagation, not just pair grouping)."""
+    from lumbermill_spark.extras import convcorpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = []
+    # three conversations with identical prefix content → pairwise near-dups
+    for cid in ["m1", "m2", "m3"]:
+        rows += [(cid, 1, "user", base[:100], None, None),
+                 (cid, 2, "assistant", base[100:200], None, None)]
+    rows += [("z9", 1, "user", "totally different content about nothing", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           convcorpus.dup_clusters_conversations(df).collect()}
+    assert out["m1"] == out["m2"] == out["m3"] == "m1"
+    assert out["z9"] == "z9"  # singleton stays its own cluster
+    # every augmented doc (incl. ~dup/~near variants) carries a label
+    assert all("~" not in k or out[k] is not None for k in out)
