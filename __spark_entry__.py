@@ -763,6 +763,20 @@ def _q_conv_datacard(spark, sf_dir):
     )
 
 
+def _q_conv_vocab_topk(spark, sf_dir):
+    """Vocabulary coverage table over rendered conversations."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.vocab_conversations(_transcripts(spark, sf_dir))
+
+
+def _q_conv_chunks(spark, sf_dir):
+    """RAG-style overlapping token chunks over rendered conversations."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.chunk_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_conv_bpe(spark, sf_dir):
     """BPE tokenizer trained on rendered conversations (the transcript
     corpus's own tokenizer)."""
@@ -993,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": _q_text_langid_confusion,
         "text_memorization": _q_text_memorization,
         "conv_bpe": _q_conv_bpe,
+        "conv_vocab_topk": _q_conv_vocab_topk,
+        "conv_chunks": _q_conv_chunks,
         "conv_memorization": _q_conv_memorization,
         "conv_datacard": _q_conv_datacard,
         "mm_decode_stub": _q_mm_decode,
@@ -1116,6 +1132,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_confusion": OX.text_langid_confusion(),
         "text_memorization": OX.text_memorization(weights=DATACARD_GATE_WEIGHTS),
         "conv_bpe": OX.conv_bpe(tp),
+        "conv_vocab_topk": OX.conv_vocab_topk(tp, _TSX.VOCAB_TOPK_K),
+        "conv_chunks": OX.conv_chunks(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),
         "conv_datacard": OX.conv_datacard(tp, weights=DATACARD_GATE_WEIGHTS),
         "mm_decode_stub": OX.mm_decode_stub(),

@@ -634,3 +634,27 @@ def dup_clusters_conversations(df: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def vocab_conversations(df: DataFrame) -> DataFrame:
+    """Tokenizer-vocabulary induction over RENDERED conversations: the
+    top-K token coverage table (rank, count, frac, cum_frac) a transcript
+    corpus inspects before committing a vocab size."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.vocab_topk(rendered)
+
+
+def chunk_conversations(df: DataFrame) -> DataFrame:
+    """RAG-style chunking of rendered conversations: overlapping token
+    windows (textstats.chunk_sliding — zero-shuffle explode on top of
+    render's single exchange), doc_id = conv_id."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return textstats.chunk_sliding(rendered)

@@ -1358,6 +1358,28 @@ SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
 """
 
 
+def conv_vocab_topk(transcripts_path: str, k: int) -> str:
+    """Replay of extras.convcorpus.vocab_conversations via documents-view
+    shadowing over the verified vocab replay."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({text_vocab_topk(k)})
+"""
+
+
+def conv_chunks(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.chunk_conversations via documents-view
+    shadowing over the verified sliding-chunk replay."""
+    return f"""
+WITH documents AS (
+  SELECT conv_id AS doc_id, rendered AS text FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({text_chunk_sliding()})
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first
