@@ -753,6 +753,13 @@ def _q_conv_memorization(spark, sf_dir):
     )
 
 
+def _q_conv_len_histogram(spark, sf_dir):
+    """Rendered-conversation length histogram per predicted language."""
+    from lumbermill_spark.extras import convcorpus
+
+    return convcorpus.length_histogram_conversations(_transcripts(spark, sf_dir))
+
+
 def _q_conv_datacard(spark, sf_dir):
     """Transcript release report: per (pred_lang, split) data card over
     rendered conversations (flatter gate split so leakage can fire)."""
@@ -1011,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_chunks": _q_conv_chunks,
         "conv_memorization": _q_conv_memorization,
         "conv_datacard": _q_conv_datacard,
+        "conv_len_histogram": _q_conv_len_histogram,
         "mm_decode_stub": _q_mm_decode,
         "mm_embed_topk": _q_mm_embed_topk,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1136,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_chunks": OX.conv_chunks(tp),
         "conv_memorization": OX.conv_memorization(tp, weights=DATACARD_GATE_WEIGHTS),
         "conv_datacard": OX.conv_datacard(tp, weights=DATACARD_GATE_WEIGHTS),
+        "conv_len_histogram": OX.conv_len_histogram(tp),
         "mm_decode_stub": OX.mm_decode_stub(),
         "mm_embed_topk": OX.mm_embed_topk(),
         "mm_frame_sample": OX.mm_frame_sample(),

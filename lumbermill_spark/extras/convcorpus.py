@@ -658,3 +658,18 @@ def chunk_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
     )
     return textstats.chunk_sliding(rendered)
+
+
+def length_histogram_conversations(df: DataFrame) -> DataFrame:
+    """Power-of-two length histogram of rendered conversations per
+    PREDICTED language (the conv corpus has no lang label — langid rides as
+    a pure projection between render and the histogram)."""
+    from . import textstats
+
+    rendered = render_conversations(df).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    d = textstats.with_langid(rendered).select(
+        F.col("pred_lang").alias("lang"), "text"
+    )
+    return textstats.length_histogram(d)

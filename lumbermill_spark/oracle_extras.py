@@ -1380,6 +1380,28 @@ SELECT * FROM ({text_chunk_sliding()})
 """
 
 
+def conv_len_histogram(transcripts_path: str) -> str:
+    """Replay of extras.convcorpus.length_histogram_conversations: the
+    documents view is shadowed by rendered conversations with the verified
+    langid CASE supplying `lang`, reusing the histogram replay verbatim."""
+    from lumbermill_spark.extras import textstats as TSX
+
+    scores = {
+        lang: f"len(regexp_extract_all(lower(rendered), '{TSX.stopword_pat(lang)}'))"
+        for lang in TSX.LANG_ORDER
+    }
+    g = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(f"WHEN {scores[lang]} = {g} THEN '{lang}'" for lang in TSX.LANG_ORDER)
+    return f"""
+WITH documents AS (
+  SELECT CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END AS lang,
+    rendered AS text
+  FROM ({conv_render(transcripts_path)})
+)
+SELECT * FROM ({corpus_len_histogram()})
+"""
+
+
 def conv_turn_taking(transcripts_path: str) -> str:
     """Replay of extras.convcorpus.turn_taking: lag window + per-conv fold
     (NULL-skipping sum replays Spark's null-equality-skip on the first
