@@ -589,8 +589,6 @@ def dup_clusters_conversations(df: DataFrame, max_iter: int = 20) -> DataFrame:
     strictly-decreasing scalar). Near-dup components have tiny diameter, so
     convergence is 2-3 rounds; lineage is truncated by eager checkpoints
     per round."""
-    from . import dedup as _  # noqa: F401 — algorithmic parity documented above
-
     pairs = near_dup_conversations(df).select("doc_a", "doc_b")
     nodes = augmented_conversations(df).select("doc_id").distinct()
     edges = (
