@@ -42,9 +42,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def _vecs(embeddings: DataFrame) -> DataFrame:
+    from .textstats import _widen
+
     if "v" in embeddings.columns:  # already projected (e.g. augmented frames)
         return embeddings
-    return embeddings.select(
+    # the embeddings table is a single-row-group parquet at gate/bench scale
+    # → a 1-2 partition scan; the per-row cosine folds downstream are pure
+    # CPU, so spread the scan first (no-op at real file counts)
+    return _widen(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
 
@@ -76,16 +81,44 @@ def topk_bruteforce(embeddings: DataFrame, k: int = TOPK, n_queries: int = N_QUE
     )
 
 
-def _assign_cells(e: DataFrame, centroids: DataFrame, nprobe: int, id_col: str) -> DataFrame:
-    """Per vector: its nprobe nearest centroid cells (by cosine), rank-stable."""
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        id_col, "v", F.col("cid"), cosine_expr(F.col("v"), F.col("cv")).alias("csim")
+def _centroid_scores(centroids: DataFrame) -> Column:
+    """The centroid table — broadcast-sized by contract — collected ONCE and
+    inlined as a constant array of (neg-cosine, cid) score structs per row:
+    ascending struct order == (csim DESC, cid ASC), exactly the old
+    row_number ordering (negation is a sign flip, bit-exact). cid keeps its
+    source column type so downstream schemas are unchanged."""
+    cid_t = centroids.schema["cid"].dataType
+    rows = sorted(centroids.select("cid", "cv").collect(), key=lambda r: r["cid"])
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).cast(cid_t).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
-        .select(id_col, "v", "cid")
+    return F.array_sort(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (-cosine_expr(F.col("v"), c["cv"])).alias("neg"), c["cid"].alias("cid")
+            ),
+        )
+    )
+
+
+def _assign_cells(e: DataFrame, centroids: DataFrame, nprobe: int, id_col: str) -> DataFrame:
+    """Per vector: its nprobe nearest centroid cells (by cosine), rank-stable.
+
+    Zero-shuffle: the old shape (crossJoin broadcast + per-id row_number
+    window) exploded every vector |centroids|× through a full hash exchange
+    just to take an argmax; the constant-folded score array sorts per row
+    instead — same cosine floats, same (csim DESC, cid ASC) order, no
+    Exchange at all."""
+    best = F.slice(_centroid_scores(centroids), 1, nprobe)
+    return e.select(
+        id_col, "v", F.explode(F.transform(best, lambda s: s["cid"])).alias("cid")
     )
 
 

@@ -30,6 +30,9 @@ def _bucket(tok, row: int):
 
 
 def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    from .textstats import _widen
+
+    df = _widen(df)  # single-row-group corpus scans yield 1-2 partitions
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     return df.select(F.explode(words).alias("token"))
@@ -168,8 +171,14 @@ def bloom_prefilter(batch: DataFrame, index_fps: DataFrame) -> DataFrame:
     member = fp.join(hits.select("doc_id", "_set"), "doc_id", "left").withColumn(
         "bloom_member", F.coalesce(F.col("_set"), F.lit(0)) == BLOOM_HASHES
     )
+    # NO broadcast hint on the exact-membership join: the full distinct
+    # fingerprint index is exactly what the module's scale story says is
+    # beyond broadcast range (the bloom sketch exists because of that), so
+    # forcing it driver-side would OOM at a real index size. The planner /
+    # AQE picks broadcast on its own whenever the index actually fits
+    # (round-5 advice).
     idx = index_fps.select("fingerprint").distinct().withColumn("_exact", F.lit(True))
-    out = member.join(F.broadcast(idx), "fingerprint", "left")
+    out = member.join(idx, "fingerprint", "left")
     exact = F.coalesce(F.col("_exact"), F.lit(False))
     return out.select(
         "doc_id",

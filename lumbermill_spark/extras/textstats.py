@@ -30,6 +30,61 @@ def stopword_pat(lang: str) -> str:
     return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
 
 
+# logical-plan nodes that imply the frame already crossed (or is) a shuffle /
+# materialization boundary and is therefore already spread across the cluster
+_BOUNDARY_NODES = {
+    "Aggregate",
+    "Join",
+    "Window",
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "Sort",
+    "GlobalLimit",
+    "LogicalRDD",
+}
+
+
+def _post_shuffle(df: DataFrame) -> bool:
+    """True when the analyzed plan contains an aggregate/join/window/
+    repartition/checkpoint — the frame's partitioning was already decided by
+    an exchange (e.g. rendered conversations out of render_conversations'
+    groupBy), so widening it again would only add a useless shuffle."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _BOUNDARY_NODES:
+            return True
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
+
+
+def _widen(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Spread a narrow corpus scan across the cluster before per-row-heavy
+    text work (same idea as dedup._widen). The corpus tables here are small
+    single-row-group parquet files, and a row group is parquet's split unit
+    — the scan yields 1-2 partitions no matter what
+    spark.sql.files.maxPartitionBytes says, so every regex/array projection
+    was bottlenecked on 1-2 of local[32]'s cores (measured: pmi 3.4 s → 0.8 s
+    at sf0.1 from this alone). A 100 TB input has more files than cores and
+    passes through untouched; a frame that already crossed a shuffle
+    boundary (conv render output, checkpoints) is returned unchanged, so
+    composed chains never pay a second exchange."""
+    if key not in df.columns:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if nfiles >= target or _post_shuffle(df):
+        return df
+    return df.repartition(target, key)
+
+
 def ws_token_count(text: Column) -> Column:
     t = F.trim(text)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
@@ -64,6 +119,7 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    df = _widen(df)
     t = F.col(text_col)
     return df.withColumn("n_ws_tokens", ws_token_count(t)).withColumn(
         "n_bpe_tokens", bpe_token_count(t)
@@ -73,6 +129,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality score ∈ [0,1]: alpha density, low punctuation, stopword
     presence, length — the standard cheap pre-filter for corpus curation."""
+    df = _widen(df)
     t = F.col(text_col)
     length = F.greatest(F.length(t), F.lit(1)).cast("double")
     ntok = F.greatest(ws_token_count(t), F.lit(1)).cast("double")
@@ -97,6 +154,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID with fixed-precedence argmax ('und' if no
     hits anywhere)."""
+    df = _widen(df)
     t = F.lower(F.col(text_col))
     scores = {lang: F.regexp_count(t, F.lit(stopword_pat(lang))) for lang in LANG_ORDER}
     best = F.greatest(*scores.values())
@@ -185,6 +243,7 @@ def pack_shards(
     Output: (doc_id, n_tokens, offset_tokens, shard_id) — one row per doc;
     offset_tokens is the exclusive global prefix, kept so the oracle
     comparison pins the whole scan, not just the bucketing."""
+    df = _widen(df)
     max_id = df.select(F.max("doc_id").alias("m")).first()["m"] or 0
     if bucket is None:
         bucket = max(PACK_BUCKET, -((max_id + 1) // -MAX_PACK_BUCKETS))
@@ -271,6 +330,7 @@ def decontaminate(
 
     Output: one row per NON-benchmark document —
     (doc_id, n_hit_shingles, contaminated)."""
+    df = _widen(df)
     is_bench = F.col("doc_id") % bench_mod == 0
     sh = df.select("doc_id", F.explode(_ws_shingles(F.col(text_col), w)).alias("s")).filter(
         F.col("s") != ""
@@ -334,6 +394,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
       rep_keep        all signals under the documented thresholds
     All fractions rounded to 6 dp (same cross-engine contract as
     with_quality)."""
+    df = _widen(df)
     # Stage the expensive arrays as real columns (split once, each n-gram
     # array built once): referencing the raw expression trees directly
     # re-evaluates them per use — codegen subexpression elimination does NOT
@@ -435,6 +496,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Count and redact PII spans: emails -> <EMAIL>, IPv4s -> <IP>, phones
     -> <PHONE> (replace order matters and is part of the contract: emails
     first so an address's host part can never be half-matched as an IP)."""
+    df = _widen(df)
     t = F.col(text_col)
     n_emails = F.regexp_count(t, F.lit(EMAIL_RX)).cast("int")
     red = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
@@ -561,6 +623,7 @@ def remove_frequent_lines(
                        ('' when everything was boilerplate)
     Lines are keyed by md5 digest so the count shuffle moves 16 bytes per
     line instead of the line text."""
+    df = _widen(df)
     lines = df.select(
         "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     ).withColumn("lk", F.md5(F.col("line")))
@@ -630,6 +693,7 @@ def unigram_logprob(
 
     Output per doc: n_tokens, n_oov, avg_logprob (natural log, 6 dp; NULL
     for empty docs). Empty documents survive with n_tokens = 0."""
+    df = _widen(df)
     words = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
@@ -734,6 +798,7 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Same exact-`percentile` contract as aggregate.router_rollup (the
     production path at 10^12 rows would swap in approx_percentile; the
     exact version is what a SQL oracle can replay value-for-value)."""
+    df = _widen(df)
     t = F.col(text_col)
     return (
         df.withColumn("_nt", ws_token_count(t))
@@ -765,6 +830,17 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 SHUFFLE_SALT = "lmshuffle-v1"
 
 
+def _materialize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Same hygiene as dedup._finalize: pin a (small) result via eager
+    localCheckpoint, then release the persisted intermediates backing it —
+    the checkpoint truncates lineage so the result no longer references the
+    caches and their blocks are GC-managed instead of leaking per call."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def pack_shards_shuffled(
     df: DataFrame,
     budget_tokens: int = DEFAULT_SHARD_BUDGET,
@@ -776,20 +852,29 @@ def pack_shards_shuffled(
     Output: (doc_id, n_tokens, shuffle_key, offset_tokens, shard_id) — one
     row per doc; offset_tokens is the exclusive prefix of n_tokens over the
     global (shuffle_key, doc_id) order, shard_id = floor(offset / budget).
-    The oracle replays the naive global cumsum over the same order."""
-    n_docs = df.count()
+    The oracle replays the naive global cumsum over the same order.
+
+    The narrow tokenized projection (doc_id + 2 longs per doc) is persisted
+    and counted ONCE: the count, the per-bucket subtotals and the final
+    window all ride that cache. Without it the upstream plan — which for
+    conversation packs is a full render of every conversation — was
+    recomputed three times (count, subtotal collect, final scan): measured
+    3× the upstream cost at sf0.1 for zero benefit."""
+    df = _widen(df)
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
+    )
+    d0 = (
+        df.select("doc_id", bpe_token_count(F.col(text_col)).alias("n_tokens"))
+        .withColumn("shuffle_key", h)
+        .persist()
+    )
+    n_docs = d0.count()  # materializes the cache (upstream computed once)
     bits = 12  # 4096 buckets at test scale ...
     while (1 << bits) * PACK_BUCKET < n_docs and (1 << bits) < MAX_PACK_BUCKETS:
         bits += 1  # ... growing so ~PACK_BUCKET docs/bucket, capped at 2^20
     shift = 32 - bits
-    h = F.expr(
-        f"cast(conv(substr(md5(concat('{salt}', ':', cast(doc_id as string))),1,8),16,10) as bigint)"
-    )
-    d = (
-        df.select("doc_id", bpe_token_count(F.col(text_col)).alias("n_tokens"))
-        .withColumn("shuffle_key", h)
-        .withColumn("bucket", F.shiftrightunsigned(F.col("shuffle_key"), shift))
-    )
+    d = d0.withColumn("bucket", F.shiftrightunsigned(F.col("shuffle_key"), shift))
     subtot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
     acc = 0
     rows = []
@@ -803,7 +888,7 @@ def pack_shards_shuffled(
         .orderBy("shuffle_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
+    out = (
         d.join(offsets, "bucket")
         .withColumn(
             "offset_tokens",
@@ -817,6 +902,7 @@ def pack_shards_shuffled(
             F.floor(F.col("offset_tokens") / budget_tokens).cast("long").alias("shard_id"),
         )
     )
+    return _materialize(out, d0)
 
 
 # ---------------------------------------------------------------------------
@@ -847,6 +933,7 @@ def pack_sequences(
     joined by `sep` in doc_id order. Token accounting matches pack_shards
     exactly (the separator is not counted; a production tokenizer counts its
     EOS as one token per doc — add n_docs if needed)."""
+    df = _widen(df)
     max_id = df.select(F.max("doc_id").alias("m")).first()["m"] or 0
     if bucket is None:
         bucket = max(PACK_BUCKET, -((max_id + 1) // -MAX_PACK_BUCKETS))
@@ -916,6 +1003,7 @@ def take_per_stratum(
 ) -> DataFrame:
     """(doc_id, *strata, rn): the min(k, n) hash-smallest docs per stratum,
     rn = 1-based rank within the stratum by (hash, doc_id)."""
+    df = _widen(df)
     h = F.expr(
         f"cast(conv(substr(md5(concat('{salt}', ':', cast({key_col} as string))),1,8),16,10) as bigint)"
     )
@@ -976,6 +1064,7 @@ def chunk_sliding(
     tokens [i*stride, i*stride + chunk_len); the last chunk starts at the
     smallest multiple of stride reaching the tail (so every token is in
     ≥1 chunk and no chunk is a suffix-duplicate of the previous)."""
+    df = _widen(df)
     if stride <= 0 or chunk_len < stride:
         raise ValueError(f"need 0 < stride <= chunk_len, got {stride}, {chunk_len}")
     t = F.trim(F.col(text_col))
@@ -1029,6 +1118,7 @@ def bigram_logprob(
     mean ln p(w_i | w_{i-1}) with add-one smoothing over V = K_effective + 1
     types (6 dp; per-bigram logp rounded to 12 dp before the mean so libm
     ulp skew can't break the value hash; NULL for empty docs)."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     pairs = df.select("doc_id", toks.alias("_ts")).select(
@@ -1169,6 +1259,7 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_TOPK_K, text_col: str = "text") -> 
     """(rank, token, count, frac, cum_frac): the K most frequent lowercased
     whitespace tokens, each with its corpus share and the running coverage
     of the vocabulary so far (6 dp, ties broken token-ascending)."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     counts = (
@@ -1253,6 +1344,7 @@ def trigram_logprob(
     / n_uni), plus the mean ln-score (per-token ln rounded to 12 dp before
     the mean, 6 dp after — the ladder's libm-proofing convention; NULL for
     empty docs)."""
+    df = _widen(df)
     cut = int(train_frac * (1 << 32))
     is_train = _tri_hash("doc_id", TRI_SALT) < cut
 
@@ -1423,6 +1515,7 @@ def blocklist_filter(
     """Per doc: url, extracted host, blocked verdict, and the matched
     blocklist entry (min entry string when several match; NULL when clean).
     One row per input doc."""
+    df = _widen(df)
     exact = BLOCK_EXACT if exact is None else exact
     suffix = BLOCK_SUFFIX if suffix is None else suffix
     spark = df.sparkSession
@@ -1618,6 +1711,7 @@ def augment_gopher(df: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per doc: the seven Gopher signals, the verdict, and the fixed-order
     failed-rule reason string ('' when kept)."""
+    df = _widen(df)
     t = F.trim(F.col(text_col))
     ws = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     d = df.select("doc_id", F.col(text_col).alias("_t"), ws.alias("_ws")).select(
@@ -1742,6 +1836,7 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per doc: line counts before/after the C4 line rules, the page-rule
     flags, the page verdict, and the cleaned text (kept lines, original
     order, newline-joined)."""
+    df = _widen(df)
 
     def _line_keep(l):
         lt = F.trim(l)
@@ -1798,6 +1893,7 @@ def corpus_datacard(
     Scale shape: exactly two exchanges at any corpus size (the fingerprint
     window, then the (lang, split) aggregate); the leakage test is
     min(split) ≠ max(split) over the fingerprint partition, O(1) state."""
+    df = _widen(df)
     w_train, w_val, w_test = weights
     if abs(w_train + w_val + w_test - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {weights}")
@@ -1869,6 +1965,7 @@ def bpe_merges(df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
     """Learn the first n_merges BPE merges from the corpus: (round,
     left_sym, right_sym, pair_count, token). Ties break (count DESC, left
     ASC, right ASC) — deterministic on both engines (ASCII byte order)."""
+    df = _widen(df)
     spark = df.sparkSession
     words = (
         df.select(
@@ -1950,6 +2047,7 @@ def memorization_scan(
 
     Output: one row per held-out doc — (doc_id, split, n_shingles, n_seen,
     seen_frac 6 dp)."""
+    df = _widen(df)
     w_train, w_val, w_test = weights
     if abs(w_train + w_val + w_test - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {weights}")
@@ -1966,27 +2064,35 @@ def memorization_scan(
         .alias("split"),
         _ws_shingles(F.col("text"), w).alias("_sh"),
     )
-    sh = d.select(
-        "doc_id", "split", F.explode("_sh").alias("s")
-    ).filter(F.col("s") != "").withColumn("dig", F.md5("s")).drop("s")
+    # The digest stream is persisted once: train-side distinct, and the
+    # held-side join+counts, all ride one explode+md5 pass. Unpersisted it
+    # was computed three times (train_digs, the hit join's probe side, and
+    # the per-doc shingle count) — measured 3× the shingle cost for nothing.
+    # The two count branches are also fused into ONE aggregation over the
+    # left-joined held stream instead of two groupBys joined after the fact.
+    sh = (
+        d.select("doc_id", "split", F.explode("_sh").alias("s"))
+        .filter(F.col("s") != "")
+        .withColumn("dig", F.md5("s"))
+        .drop("s")
+        .persist()
+    )
     train_digs = sh.filter(F.col("split") == "train").select("dig").distinct()
     held = sh.filter(F.col("split") != "train")
-    hits = (
-        held.join(train_digs, "dig")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("dig").cast("bigint").alias("n_seen"))
-    )
-    per_doc = held.groupBy("doc_id", "split").agg(
-        F.countDistinct("dig").cast("bigint").alias("n_shingles")
-    )
-    return (
-        per_doc.join(hits, "doc_id", "left")
-        .withColumn("n_seen", F.coalesce(F.col("n_seen"), F.lit(0)).cast("bigint"))
+    flagged = held.join(train_digs.withColumn("_hit", F.lit(True)), "dig", "left")
+    out = (
+        flagged.groupBy("doc_id", "split")
+        .agg(
+            F.countDistinct("dig").cast("bigint").alias("n_shingles"),
+            F.countDistinct(F.when(F.col("_hit"), F.col("dig"))).cast("bigint").alias("n_seen"),
+        )
         .withColumn(
             "seen_frac",
             F.round(F.col("n_seen") / F.greatest(F.col("n_shingles"), F.lit(1)), 6),
         )
+        .select("doc_id", "split", "n_shingles", "n_seen", "seen_frac")
     )
+    return _materialize(out, sh)
 
 
 WSAMPLE_K = 25  # per-language keep budget for the weighted sample
@@ -2045,6 +2151,7 @@ def zipf_fit(df: DataFrame, k: int = ZIPF_TOPK, text_col: str = "text") -> DataF
     sequence; the closed forms are written with the same operation shape on
     both sides and rounded to 6 dp. Scale shape: one token-count aggregate
     (corpus-sized, map-side combined), then everything runs on k rows."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     counts = (
@@ -2123,6 +2230,7 @@ def tfidf_keywords(df: DataFrame, k: int = TFIDF_TOPK, text_col: str = "text") -
     key, a single-row N broadcast, and a doc_id-partitioned rank window —
     nothing global, nothing Python. The score multiplies tf by one ln()
     call, both single float64 ops, so 6-dp rounding is engine-stable."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     tf = (
@@ -2170,21 +2278,30 @@ def pmi_collocations(df: DataFrame, k: int = PMI_TOPK, text_col: str = "text") -
     single-row totals broadcast, then TakeOrderedAndProject for the top-k —
     the rank window touches k rows only. The PMI is one ln() over a fixed
     ratio shape, so 6-dp rounding is engine-stable."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     toks = df.select(F.explode(words).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c1"))
+    # persisted: the unigram table feeds BOTH marginal joins and the token
+    # total — three references that each re-exploded the corpus otherwise
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c1")).persist()
     n_tot = uni.groupBy().agg(F.sum("c1").cast("bigint").alias("n"))
     grams = df.select(F.explode(_ngrams(words, 2)).alias("g"))
-    pairs = (
+    # ONE bigram count pass: the unfiltered (x, y) count table is persisted,
+    # the gram total is its sum (a |bigram-types|-bounded aggregate) and the
+    # thresholded pair table is a filter over it — previously the corpus was
+    # exploded into bigrams twice (once for the counts, once for the bare
+    # total), the single most expensive pass in the query run twice.
+    pairs_all = (
         grams.select(
             F.split(F.col("g"), " ")[0].alias("x"), F.split(F.col("g"), " ")[1].alias("y")
         )
         .groupBy("x", "y")
         .agg(F.count("*").cast("bigint").alias("pair_n"))
-        .filter(F.col("pair_n") >= PMI_MIN_PAIR)
+        .persist()
     )
-    p_tot = grams.groupBy().agg(F.count("*").cast("bigint").alias("p"))
+    pairs = pairs_all.filter(F.col("pair_n") >= PMI_MIN_PAIR)
+    p_tot = pairs_all.groupBy().agg(F.sum("pair_n").cast("bigint").alias("p"))
     scored = (
         pairs.join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c1", "cx"), "x")
         .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c1", "cy"), "y")
@@ -2207,9 +2324,10 @@ def pmi_collocations(df: DataFrame, k: int = PMI_TOPK, text_col: str = "text") -
         )
     )
     top = scored.orderBy(F.col("pmi").desc(), "x", "y").limit(k)
-    return top.withColumn(
+    out = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("pmi").desc(), "x", "y")).cast("int")
     )
+    return _materialize(out, pairs_all, uni)
 
 
 KN_DISCOUNT = 0.75  # the standard Kneser-Ney absolute discount
@@ -2231,6 +2349,7 @@ def kn_logprob(
     12-dp per-bigram rounding before the mean). All counts are integers
     from one <unk>-collapsed bigram table; the float shape is fixed and
     mirrored in the oracle. B and |vocab| are K-bounded driver scalars."""
+    df = _widen(df)
     t = F.trim(F.lower(F.col(text_col)))
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
     pairs = df.select("doc_id", toks.alias("_ts")).select(

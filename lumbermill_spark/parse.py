@@ -573,6 +573,112 @@ def parse_fields_native(msg_class: Column, text: Column) -> Column:
     )
 
 
+def with_parsed_native(df: DataFrame) -> DataFrame:
+    """DataFrame-level native parser with the SAME attribute-column shape
+    that fixed native_fast (see with_parsed_native_fast): whole-stage-codegen
+    subexpression elimination skips CaseWhen branches, so the column-level
+    form re-ran each key's full-line regexp_extract 3-4× per row (once in
+    the `raw != ""` probe, once in the branch value, again via router_bad).
+    Staging every fast-family extraction as its own class-gated projection
+    column makes the struct assembly reference cheap ATTRIBUTES; the regex
+    per key runs exactly once per row of its class. The rare adversarial
+    rows still take the inline quote-parity struct, exactly as before —
+    semantics pinned by tests/test_parse_golden.py + the hypothesis fuzz."""
+
+    def build():
+        text, mc = F.col("text"), F.col("msg_class")
+        is_router = mc == S.CLS_ROUTER
+        is_mem = mc == S.CLS_DYNO_MEM
+        is_load = mc == S.CLS_DYNO_LOAD
+        is_rerr = mc == S.CLS_ROUTER_ERROR
+
+        inter: dict[str, Column] = {}
+        for key, pat in S.ROUTER_INT_KEYS.items():
+            inter["_ng_" + key] = F.when(is_router, F.regexp_extract(text, pat, 1))
+        for key, pat in S.MEM_FLOAT_KEYS.items():
+            inter["_ng_" + key] = F.when(is_mem, F.regexp_extract(text, pat, 1))
+        for key, pat in S.MEM_INT_KEYS.items():
+            inter["_ng_" + key] = F.when(is_mem, F.regexp_extract(text, pat, 1))
+        for key, pat in S.LOAD_KEYS.items():
+            inter["_ng_" + key] = F.when(is_load, F.regexp_extract(text, pat, 1))
+        # quoted-or-bare string keys: both capture groups staged
+        inter["_ng1_code"] = F.when(is_rerr, F.regexp_extract(text, S.PAT_CODE, 1))
+        inter["_ng2_code"] = F.when(is_rerr, F.regexp_extract(text, S.PAT_CODE, 2))
+        gate_src = is_mem | is_load
+        inter["_ng1_source"] = F.when(gate_src, F.regexp_extract(text, S.PAT_SOURCE, 1))
+        inter["_ng2_source"] = F.when(gate_src, F.regexp_extract(text, S.PAT_SOURCE, 2))
+
+        qa = _native_struct(mc, text, qa=True)
+        p = F.when(_adv(text), qa).otherwise(_native_struct_from_cols(mc, text))
+        return inter, p
+
+    inter, p = _cached_exprs("native_cols", build)
+    return df.withColumns(dict(inter)).withColumn("p", p).drop(*inter.keys())
+
+
+def _native_struct_from_cols(msg_class: Column, text: Column) -> Column:
+    """The fast-family struct assembled from the `_ng*` attribute columns
+    laid down by with_parsed_native — value-identical to
+    _native_struct(qa=False) (same patterns, same casts, same drop/zero
+    policies), but every raw extraction is referenced as an attribute."""
+    odd_quotes = _odd_quotes_expr(text)
+    is_router = msg_class == S.CLS_ROUTER
+
+    router_bad = F.lit(False)
+    ints = {}
+    for key in ("connect", "service", "status", "bytes"):
+        raw = F.col("_ng_" + key)
+        v = F.when(raw != "", raw.cast("int"))
+        # isNull FIRST (same short-circuit as _nat_int1): the present-probe
+        # regex only runs on rows whose extraction already failed
+        bad = v.isNull() & text.rlike(S.PAT_ROUTER_PRESENT[key])
+        ints[key] = F.coalesce(v, F.lit(0))
+        router_bad = router_bad | bad
+
+    code2 = F.substring(text, len(S.SENTINEL_DYNO_ERROR) + 1, 2)
+    ecode_ok = code2.rlike(r"^(\d\d|[+-]\d)$")
+
+    is_mem = msg_class == S.CLS_DYNO_MEM
+    is_load = msg_class == S.CLS_DYNO_LOAD
+    is_rerr = msg_class == S.CLS_ROUTER_ERROR
+    is_derr = msg_class == S.CLS_DYNO_ERROR
+    logfmt_cls = is_router | is_rerr | is_mem | is_load
+
+    def ffloat(key):
+        raw = F.col("_ng_" + key)
+        return F.coalesce(F.when(raw != "", raw.cast("double")), F.lit(0.0))
+
+    def fint_swallow(key):
+        raw = F.col("_ng_" + key)
+        return F.coalesce(F.when(raw != "", raw.cast("int")), F.lit(0))
+
+    def fstr(key):
+        g1, g2 = F.col("_ng1_" + key), F.col("_ng2_" + key)
+        return F.when(g1 != "", g1).otherwise(g2)
+
+    return F.struct(
+        F.when(is_router, ints["status"]).otherwise(F.lit(0)).cast("int").alias("status"),
+        F.when(is_router, ints["service"]).otherwise(F.lit(0)).cast("int").alias("service"),
+        F.when(is_rerr, fstr("code")).otherwise(F.lit("")).alias("error_code"),
+        F.when(is_derr & ecode_ok, code2.cast("int")).otherwise(F.lit(0)).cast("int").alias("dyno_ecode"),
+        F.when(is_mem | is_load, fstr("source")).otherwise(F.lit("")).alias("source"),
+        F.when(is_mem, ffloat("memory_cache")).otherwise(F.lit(0.0)).alias("memory_cache"),
+        F.when(is_mem, fint_swallow("memory_pgpgin")).otherwise(F.lit(0)).cast("int").alias("memory_pgpgin"),
+        F.when(is_mem, fint_swallow("memory_pgpgout")).otherwise(F.lit(0)).cast("int").alias("memory_pgpgout"),
+        F.when(is_mem, ffloat("memory_rss")).otherwise(F.lit(0.0)).alias("memory_rss"),
+        F.when(is_mem, ffloat("memory_swap")).otherwise(F.lit(0.0)).alias("memory_swap"),
+        F.when(is_mem, ffloat("memory_total")).otherwise(F.lit(0.0)).alias("memory_total"),
+        F.when(is_load, ffloat("load_avg_1m")).otherwise(F.lit(0.0)).alias("load_avg_1m"),
+        F.when(is_load, ffloat("load_avg_5m")).otherwise(F.lit(0.0)).alias("load_avg_5m"),
+        F.when(is_load, ffloat("load_avg_15m")).otherwise(F.lit(0.0)).alias("load_avg_15m"),
+        (
+            (logfmt_cls & odd_quotes)
+            | (is_router & router_bad)
+            | (is_derr & ~ecode_ok)
+        ).alias("parse_error"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # native_fast: locate/substring field scanning — NO java.util.regex over the
 # full line. The java regex engine re-scans ~300 chars per pattern per row
@@ -912,10 +1018,7 @@ def with_parsed(df: DataFrame, parser: str = "pandas") -> DataFrame:
 
         (p,) = _cached_exprs("pandas", build_pandas)
     elif parser == "native":
-        (p,) = _cached_exprs(
-            "native",
-            lambda: (parse_fields_native(F.col("msg_class"), F.col("text")),),
-        )
+        return with_parsed_native(df)
     elif parser == "native_fast":
         return with_parsed_native_fast(df)
     else:

@@ -137,9 +137,10 @@ def test_canonical_selection_windows_on_cluster(spark):
 
 
 def test_repetition_and_redaction_are_pure_projections(spark):
-    """The repetition signals and PII redaction are per-row projections:
-    their plans must carry NO Exchange at all (a shuffle here would be a
-    scale bug — these run over every document of the corpus) and no Python
+    """The repetition signals and PII redaction are per-row projections: the
+    ONLY exchange allowed is the conditional input-widening repartition on
+    doc_id (textstats._widen — fires only on few-file scans, a no-op at real
+    file counts); any other shuffle here would be a scale bug. No Python
     evaluation (all higher-order/regexp expressions stay JVM-side)."""
     from lumbermill_spark.extras import textstats
 
@@ -149,7 +150,8 @@ def test_repetition_and_redaction_are_pure_projections(spark):
         textstats.redact_pii(textstats.augment_pii(docs)),
     ):
         plan = _plan(df)
-        assert "Exchange" not in plan
+        assert plan.count("Exchange") == plan.count("Exchange hashpartitioning(doc_id")
+        assert plan.count("Exchange") <= 1
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
@@ -246,7 +248,9 @@ def test_chunk_sliding_is_pure_projection(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(textstats.chunk_sliding(docs))
-    assert "Exchange" not in plan
+    # only the conditional input-widening repartition may exchange
+    assert plan.count("Exchange") == plan.count("Exchange hashpartitioning(doc_id")
+    assert plan.count("Exchange") <= 1
     assert "Join" not in plan
     assert "Python" not in plan
 
@@ -325,7 +329,7 @@ def test_duplicate_spans_windows_stay_doc_partitioned(spark):
     from lumbermill_spark.extras import dedup, textstats
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _plan(dedup.duplicate_spans(textstats.augment_lines(docs)))
+    plan = _plan(dedup.duplicate_spans(textstats.augment_lines(docs), materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
@@ -339,7 +343,11 @@ def test_corpus_prepare_one_scan_one_shuffle(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(textstats.corpus_prepare(docs))
-    assert plan.count("Exchange hashpartitioning") == 1
+    # the input-widening doc_id repartition plus the normalized-fingerprint
+    # window — nothing else may exchange
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange hashpartitioning(_nfp") == 1
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
@@ -454,7 +462,11 @@ def test_pca_projection_never_shuffles(spark):
     model = spark.read.parquet(similarity.ensure_pca_model(sf_dir))
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(similarity.project_pca(e, model))
-    assert "Exchange hashpartitioning" not in plan
+    # only the conditional input-widening vec_id repartition may exchange
+    assert plan.count("Exchange hashpartitioning") == plan.count(
+        "Exchange hashpartitioning(vec_id"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
 
@@ -469,7 +481,10 @@ def test_corpus_datacard_two_exchanges_no_python(spark):
     assert "Python" not in plan
     assert "Join" not in plan
     assert "Exchange SinglePartition" not in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    # fingerprint window + (lang, split) aggregate + the input-widening
+    # doc_id repartition
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
 
 
 def test_render_sessions_single_exchange(spark):
