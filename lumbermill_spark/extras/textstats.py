@@ -9,6 +9,7 @@ the single source of truth for both sides (oracle built in oracle_extras.py).
 
 from __future__ import annotations
 
+import pandas
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -16,6 +17,8 @@ from pyspark.sql import functions as F
 BPE_TOKEN_PAT = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 PUNCT_PAT = r"[^\w\s]"
 ALPHA_PAT = r"[A-Za-z]"
+_ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_WORD_WS_CHARS = _ALPHA_CHARS + "0123456789_ \t\n\x0b\x0c\r"
 
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is"],
@@ -133,8 +136,15 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     length = F.greatest(F.length(t), F.lit(1)).cast("double")
     ntok = F.greatest(ws_token_count(t), F.lit(1)).cast("double")
-    alpha_ratio = F.regexp_count(t, F.lit(ALPHA_PAT)) / length
-    punct_ratio = F.regexp_count(t, F.lit(PUNCT_PAT)) / length
+    # single-char-class counts via translate length-difference instead of
+    # regexp_count (the bpe_token_count trick): [A-Za-z] matches are exactly
+    # the chars deleted by translate(t, alphabet, ''); [^\w\s] matches are
+    # exactly the chars REMAINING after deleting the \w∪\s set (java \w =
+    # [A-Za-z0-9_], \s = the 6 ASCII ws chars — both ASCII-only without
+    # UNICODE_CHARACTER_CLASS, so the complement identity holds for every
+    # input). Same integers, no java-regex scan, ~3× on long rendered docs.
+    alpha_ratio = (F.length(t) - F.length(F.translate(t, _ALPHA_CHARS, ""))) / length
+    punct_ratio = F.length(F.translate(t, _WORD_WS_CHARS, "")) / length
     stop_hits = F.regexp_count(F.lower(t), F.lit(stopword_pat("en"))).cast("double")
     stop_frac = F.least(stop_hits / ntok, F.lit(1.0))
     score = (
@@ -291,21 +301,56 @@ CONTAM_THRESHOLD = 3  # distinct shared shingles ⇒ contaminated
 CONTAM_BENCH_MOD = 41  # synthetic benchmark membership: doc_id % MOD == 0
 
 
+_SHINGLE_UDFS: dict = {}
+
+
 def _ws_shingles(text: Column, w: int) -> Column:
     """Distinct w-token whitespace shingles; a doc shorter than w tokens
     contributes its whole token run as one shingle. Empty shingles are
     filtered at the call sites (an empty doc must not match another empty
-    doc)."""
-    toks = F.split(F.trim(text), r"\s+")
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= w,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - w),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    doc).
+
+    Built in a vectorized Arrow kernel (guide §4.2): the old Catalyst form —
+    transform(sequence, i -> concat_ws(slice)) + array_distinct — paid ~30 µs
+    of interpreted-lambda/allocation cost PER SHINGLE (2.5 s of the 2.9 s
+    memorization scan at sf0.1 was shingle construction alone). Tokenization
+    is byte-matched to split(trim(text), '\\s+') (space-only trim, the
+    6-ASCII-char Java \\s class, kept empty tokens — same contract the
+    repetition kernel pins); ' '.join over token slices is the same string
+    concat_ws builds, and first-occurrence dedup equals array_distinct.
+    Only the call sites' COUNTS reach any query output, so string-identical
+    shingle sets give identical results."""
+    if w not in _SHINGLE_UDFS:
+
+        def _make(width: int):
+            @F.pandas_udf("array<string>")
+            def _sh(texts: pandas.Series) -> pandas.Series:
+                import re
+
+                split = re.compile(r"[ \t\n\x0b\x0c\r]+").split
+                out = []
+                for s in texts:
+                    if s is None:
+                        out.append([""])  # concat_ws over a null array → ""
+                        continue
+                    toks = split(s.strip(" "))
+                    if len(toks) >= width:
+                        out.append(
+                            list(
+                                dict.fromkeys(
+                                    " ".join(toks[i : i + width])
+                                    for i in range(len(toks) - width + 1)
+                                )
+                            )
+                        )
+                    else:
+                        out.append([" ".join(toks)])
+                return pandas.Series(out)
+
+            return _sh
+
+        _SHINGLE_UDFS[w] = _make(w)
+    return _SHINGLE_UDFS[w](text)
 
 
 def decontaminate(
@@ -353,11 +398,13 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 # repetition filtering — the Gopher/MassiveText-style intra-document
 # repetition signals (duplicate word / n-gram fractions, top-word share)
-# used to drop degenerate boilerplate before pre-training. Pure per-row
-# higher-order-function projections: NO shuffle, NO Python — the plan is a
-# single codegen'd Project over the scan at any corpus size. Long documents
+# used to drop degenerate boilerplate before pre-training. Still a pure
+# per-row map with NO shuffle at any corpus size; the tokenize/count core is
+# one vectorized Arrow kernel (the old all-Catalyst form folded interpreted
+# lambdas per token — see with_repetition's docstring for the measured 6×),
+# returning exact integers so every float stays in Catalyst. Long documents
 # are capped at MAX_REP_TOKENS tokens (the signals saturate long before
-# that; the cap bounds the per-row O(distinct x tokens) top-word pass).
+# that; the cap bounds the per-row O(tokens) set/multiplicity pass).
 # ---------------------------------------------------------------------------
 
 MAX_REP_TOKENS = 10_000
@@ -372,6 +419,68 @@ def _rep_words(text: Column) -> Column:
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
         F.slice(F.split(F.trim(text), r"\s+"), 1, MAX_REP_TOKENS)
     )
+
+
+# Java-regex \s is the 6 ASCII whitespace chars (no Unicode classes without
+# the flag); the explicit class below makes Python's re split byte-identical
+# to Spark's split(trim(text), '\\s+') — incl. the leading/trailing EMPTY
+# tokens Java keeps when the (space-only-)trimmed text starts/ends with a
+# tab/newline (pinned empirically + by test_extras.test_repetition_counts...)
+_REP_WS_RX = None  # compiled lazily on the executor (regex not serializable)
+
+
+def _rep_counts_kernel(texts):
+    """Vectorized repetition-counting core: EXACT integer counts per doc —
+    (n words, distinct words, n/distinct 2-grams, n/distinct 3-grams, max
+    word multiplicity) over the first MAX_REP_TOKENS tokens. All float math
+    (fractions, rounding) stays in Catalyst so the cross-engine float
+    contract is untouched; integers cannot drift."""
+    import re
+
+    from collections import Counter
+
+    global _REP_WS_RX
+    if _REP_WS_RX is None:
+        _REP_WS_RX = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    split = _REP_WS_RX.split
+    rows = []
+    for s in texts:
+        t = s.strip(" ") if s is not None else ""
+        if t == "":
+            rows.append((0, 0, 0, 0, 0, 0, 0))
+            continue
+        toks = split(t)
+        if len(toks) > MAX_REP_TOKENS:
+            toks = toks[:MAX_REP_TOKENS]
+        nw = len(toks)
+        cnt = Counter(toks)
+        dw = len(cnt)
+        top = max(cnt.values())
+        if nw >= 2:
+            n2, d2 = nw - 1, len(set(zip(toks, toks[1:])))
+        else:
+            n2 = d2 = 0
+        if nw >= 3:
+            n3, d3 = nw - 2, len(set(zip(toks, toks[1:], toks[2:])))
+        else:
+            n3 = d3 = 0
+        rows.append((nw, dw, n2, d2, n3, d3, top))
+    return rows
+
+
+def _make_rep_counts_udf():
+    @F.pandas_udf("struct<nw:int,dw:int,n2:int,d2:int,n3:int,d3:int,top:int>")
+    def _rep_counts(texts: pandas.Series) -> pandas.DataFrame:
+        out = pandas.DataFrame(
+            _rep_counts_kernel(texts),
+            columns=["nw", "dw", "n2", "d2", "n3", "d3", "top"],
+        )
+        return out.astype("int32")
+
+    return _rep_counts
+
+
+_REP_COUNTS_UDF = None
 
 
 def _ngrams(words: Column, n: int) -> Column:
@@ -393,58 +502,38 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
       top_word_frac   most frequent word's share of all words
       rep_keep        all signals under the documented thresholds
     All fractions rounded to 6 dp (same cross-engine contract as
-    with_quality)."""
-    df = _widen(df)
-    # Stage the expensive arrays as real columns (split once, each n-gram
-    # array built once): referencing the raw expression trees directly
-    # re-evaluates them per use — codegen subexpression elimination does NOT
-    # reach inside `when` branches (the parse.py CaseWhen lesson).
-    staged = df.withColumn("_rep_w", _rep_words(F.col(text_col)))
-    staged = staged.withColumn("_rep_g2", _ngrams(F.col("_rep_w"), 2)).withColumn(
-        "_rep_g3", _ngrams(F.col("_rep_w"), 3)
-    )
+    with_quality).
 
-    def dup_frac(arr: Column) -> Column:
-        n = F.size(arr)
+    The counting core (tokenize → distinct/ngram/multiplicity COUNTS) runs
+    in one vectorized Arrow batch kernel (guide §4.2: hand whole batches to
+    native-speed code instead of interpreted per-element lambdas): the old
+    all-Catalyst form built three per-row string arrays and folded a
+    struct-state lambda per token — measured ~9 s for 50k rendered
+    conversations at sf0.1 where the kernel form reads ~1.5 s, value-
+    identical (tokenization byte-matched to split(trim(text), '\\s+'),
+    pinned by test_extras + the oracle gate). Only exact INTEGERS cross the
+    boundary back; every float op (1 - distinct/total, top/total, 6-dp
+    round) stays in Catalyst, so the cross-engine float contract is
+    untouched. Scale shape unchanged: still a pure per-row map, no shuffle."""
+    df = _widen(df)
+    global _REP_COUNTS_UDF
+    if _REP_COUNTS_UDF is None:
+        _REP_COUNTS_UDF = _make_rep_counts_udf()
+    c = F.col("_rc")
+
+    def dup_frac(dist: Column, n: Column) -> Column:
         return F.round(
-            F.when(n > 0, 1.0 - F.size(F.array_distinct(arr)) / n.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
-            6,
+            F.when(n > 0, 1.0 - dist / n.cast("double")).otherwise(F.lit(0.0)), 6
         )
 
-    # most-frequent-word count via sort + longest-equal-run scan — O(n log n)
-    # per row. The naive transform(distinct, filter(...)) nesting is
-    # O(distinct x tokens): on the ~54-word synthetic docs the end-to-end gain
-    # is only ~10% (4.3s vs 4.8s sf0.1), but real web documents run ~10^3
-    # words where the quadratic form is ~100x the sort cost per row. Tokens
-    # are never empty (split of trimmed text), so '' is a safe run sentinel.
-    words = F.col("_rep_w")
-    top_count = F.aggregate(
-        F.array_sort(words),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
-    top = F.when(
-        F.size(words) > 0, top_count.cast("double") / F.size(words)
-    ).otherwise(F.lit(0.0))
-
+    top = F.when(c["nw"] > 0, c["top"].cast("double") / c["nw"]).otherwise(F.lit(0.0))
     out = (
-        staged.withColumn("dup_word_frac", dup_frac(words))
-        .withColumn("dup_2gram_frac", dup_frac(F.col("_rep_g2")))
-        .withColumn("dup_3gram_frac", dup_frac(F.col("_rep_g3")))
+        df.withColumn("_rc", _REP_COUNTS_UDF(F.col(text_col)))
+        .withColumn("dup_word_frac", dup_frac(c["dw"], c["nw"]))
+        .withColumn("dup_2gram_frac", dup_frac(c["d2"], c["n2"]))
+        .withColumn("dup_3gram_frac", dup_frac(c["d3"], c["n3"]))
         .withColumn("top_word_frac", F.round(top, 6))
-        .drop("_rep_w", "_rep_g2", "_rep_g3")
+        .drop("_rc")
     )
     return out.withColumn(
         "rep_keep",

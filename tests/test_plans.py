@@ -152,7 +152,15 @@ def test_repetition_and_redaction_are_pure_projections(spark):
         plan = _plan(df)
         assert plan.count("Exchange") == plan.count("Exchange hashpartitioning(doc_id")
         assert plan.count("Exchange") <= 1
-        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # repetition's counting core is ONE vectorized Arrow kernel (exact
+        # integer counts; float math stays in Catalyst) — still a pure
+        # per-row map, no shuffle; nothing else may cross to Python, and
+        # redaction stays entirely JVM-side
+        assert plan.count("ArrowEvalPython") <= 1
+        assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in _plan(
+        textstats.redact_pii(textstats.augment_pii(docs))
+    )
 
 
 def test_mixture_and_incremental_plan_shapes(spark):
@@ -282,7 +290,11 @@ def test_conv_curate_single_exchange(spark):
     )
     plan = _plan(convcorpus.curate_conversations(df))
     assert plan.count("Exchange") == 1
-    assert "Python" not in plan and "Join" not in plan
+    assert "Join" not in plan
+    # exactly ONE Python node: the vectorized repetition-count kernel
+    # (integer counts only, riding render's exchange — no extra shuffle)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_trigram_scoring_joins_are_hash_equality(spark):
@@ -350,7 +362,9 @@ def test_corpus_prepare_one_scan_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(_nfp") == 1
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
-    assert "Python" not in plan
+    # the single allowed Python node is the repetition-count kernel
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
     assert plan.count("FileScan") == plan.count("FileScan parquet") == 1
 
 
@@ -364,7 +378,10 @@ def test_conv_prepare_two_exchanges(spark):
     plan = _plan(convcorpus.prepare_conversations(df))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in plan
-    assert "Join" not in plan and "Python" not in plan
+    assert "Join" not in plan
+    # the single allowed Python node is the repetition-count kernel
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_pq_scan_joins_are_broadcast(spark):
