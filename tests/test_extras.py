@@ -197,9 +197,10 @@ def test_conv_dup_clusters_raises_without_convergence(spark):
     any graph carrying at least one duplicate pair cannot complete its
     changed == 0 verification round — the loop must raise, never return
     possibly-unconverged cluster ids."""
+    from lumbermill_spark import datagen
     from lumbermill_spark.extras import convcorpus
 
-    df = spark.read.parquet("/root/repo/.data/transcripts_sf0.001.parquet")
+    df = spark.read.parquet(datagen.ensure_transcripts(0.001))
     with pytest.raises(RuntimeError, match="did not converge"):
         convcorpus.dup_clusters_conversations(df, max_iter=1)
 
