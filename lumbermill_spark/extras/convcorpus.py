@@ -218,17 +218,31 @@ def augmented_conversations(df: DataFrame) -> DataFrame:
         F.col("conv_id").alias("doc_id"),
         F.substring("rendered", 1, CONV_DEDUP_PREFIX).alias("text"),
     )
+    # one explode instead of a 3-branch union: a union would duplicate the
+    # render subtree (a full conv_id shuffle + collect_list over every turn)
+    # into each branch and compute it 3x per materialization — the explode
+    # emits the original plus its conditional copies in a single pass over
+    # one render. Same rows (union order is not part of any contract).
     h = _conv_bucket(F.col("doc_id"))
-    exact = r.filter(h % CONV_DUP_MOD == 0).select(
-        F.concat("doc_id", F.lit("~dup")).alias("doc_id"), "text"
-    )
-    near = r.filter(h % CONV_NEAR_MOD == 0).select(
-        F.concat("doc_id", F.lit("~near")).alias("doc_id"),
-        F.substring(F.concat(F.lit(CONV_NEAR_HEADER), F.col("text")), 1, CONV_DEDUP_PREFIX).alias(
-            "text"
+    copies = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.when(
+            h % CONV_DUP_MOD == 0,
+            F.struct(F.concat("doc_id", F.lit("~dup")).alias("doc_id"), F.col("text")),
+        ),
+        F.when(
+            h % CONV_NEAR_MOD == 0,
+            F.struct(
+                F.concat("doc_id", F.lit("~near")).alias("doc_id"),
+                F.substring(
+                    F.concat(F.lit(CONV_NEAR_HEADER), F.col("text")), 1, CONV_DEDUP_PREFIX
+                ).alias("text"),
+            ),
         ),
     )
-    return r.unionByName(exact).unionByName(near)
+    return r.select(
+        F.explode(F.filter(copies, lambda x: x.isNotNull())).alias("_c")
+    ).select("_c.doc_id", "_c.text")
 
 
 def near_dup_conversations(df: DataFrame) -> DataFrame:

@@ -171,11 +171,7 @@ def ngram_jaccard_pairs(
     d = (
         _widen(docs.select("doc_id", "text", "lang"))
         .withColumn("n", F.length("text"))
-        .withColumn("shingles", F.expr(SHINGLES_EXPR))
-        .withColumn("grams", F.expr(TRIGRAMS_EXPR))
-        .withColumn("xs", F.expr(_SHINGLE_X))
-        .withColumn("sig", _minhash_from_xs(F.col("xs")))
-        .drop("text", "xs", "shingles")
+        .select("doc_id", "lang", "n", _minhash_sig_from_text(F.col("text")).alias("sig"))
         .persist()
     )
     d.count()  # materialize before self-join (cache race, see minhash_lsh_pairs)
@@ -195,7 +191,23 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    g = d.select("doc_id", "grams")
+    # trigram sets only for docs that reached a candidate pair (the same
+    # survivors-only re-attach as minhash_lsh_pairs: no per-doc gram
+    # arrays persisted corpus-wide, no text shuffle — broadcast semi-join)
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(pair_ids), "doc_id")
+        .select("doc_id", F.expr(TRIGRAMS_EXPR).alias("grams"))
+    )
+    if materialize:
+        g = g.localCheckpoint(eager=True)
     pairs = cand.join(
         g.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a"
     ).join(
@@ -290,19 +302,111 @@ MINHASH_SIG_EXPR = (
 )
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def _minhash_from_xs(xs: pd.Series) -> pd.Series:
-    """Vectorized perm-min: sig[j] = min over shingle hashes x of
-    (A_j*x + B_j) mod p. Same math as MINHASH_SIG_EXPR (golden-tested);
-    Arrow-batched numpy because Spark's interpreted HOF fold costs ~100 ns
-    per lambda eval (64 × n_shingles per doc — measured 11 s of a 15 s
-    signature stage at sf0.1). md5 stays JVM-side."""
+_SHINGLE_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("shingles", T.ArrayType(T.StringType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@F.pandas_udf(_SHINGLE_SIG_SCHEMA)
+def _shingles_and_sig(texts: pd.Series) -> pd.DataFrame:
+    """Fused shingle + hash + perm-min kernel (guide §4.2): per doc, the
+    DISTINCT k-char shingles in first-occurrence order (byte-identical to
+    array_distinct(transform(sequence(1, greatest(len-k+1,1)), i ->
+    substr(text,i,k)))) and the 64-perm minhash signature.
+
+    Why fused: at sf1 the Catalyst shingle transform alone cost 14.5 s of a
+    ~25 s signature stage (interpreted lambda + substr allocation per char
+    position), and JVM md5 ran once per shingle OCCURRENCE. Here shingles
+    are Python slices, and md5 (hashlib — the same function over the same
+    UTF-8 bytes) runs once per BATCH-UNIQUE shingle: near-duplicate corpora
+    (the entire point of this module) share most shingles across documents,
+    so the hash count drops by the duplication factor. The perm matrix
+    (A_j*x + B_j) mod p is computed once per unique shingle and min-read
+    per doc. Exact same integers as MINHASH_SIG_EXPR: x < 2^31, A < 2^31 ⇒
+    products < 2^62, int64-exact (pure-Python golden + oracle pinned)."""
+    import hashlib
+
     A = np.asarray(PERM_A, dtype=np.int64)[:, None]
     B = np.asarray(PERM_B, dtype=np.int64)[:, None]
-    out = [
-        ((A * np.asarray(x, dtype=np.int64)[None, :] + B) % MINHASH_P).min(axis=1)
-        for x in xs
+    k = SHINGLE_K
+    uniq: dict = {}
+    doc_shingles: list = []
+    doc_idx: list = []
+    for s in texts:
+        if s is None:
+            doc_shingles.append(None)
+            doc_idx.append(None)
+            continue
+        if len(s) > k:
+            sh = list(dict.fromkeys(s[i : i + k] for i in range(len(s) - k + 1)))
+        else:
+            sh = [s]  # len <= k: sequence(1,1) -> the whole text, once
+        idx = np.empty(len(sh), dtype=np.int64)
+        for i, g in enumerate(sh):
+            j = uniq.get(g)
+            if j is None:
+                j = len(uniq)
+                uniq[g] = j
+            idx[i] = j
+        doc_shingles.append(sh)
+        doc_idx.append(idx)
+    x = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4], "big") % MINHASH_P
+            for g in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    # perm-min PER DOC on the doc's own hash slice (same shape as the
+    # plain perm-min kernel): a batch-wide (64 × n_unique) perm matrix
+    # looks cheaper but is multi-GB when shingle sharing is low — only the
+    # md5 amortization uses the batch-level dedup.
+    sigs = [
+        None if ix is None else ((A * x[ix][None, :] + B) % MINHASH_P).min(axis=1)
+        for ix in doc_idx
     ]
+    return pd.DataFrame({"shingles": doc_shingles, "sig": sigs})
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sig_from_text(texts: pd.Series) -> pd.Series:
+    """Sig-ONLY fused kernel — the hot-path variant of _shingles_and_sig.
+    Measured at sf1 (556k prefix-capped conversations): returning the
+    shingle string arrays through Arrow cost ~45 s of JVM-side array
+    re-assembly alone; the signature by itself is 16.5 s vs 34.8 s for the
+    JVM shingle transform + md5 + perm-min chain. Shingle strings are
+    reconstructed JVM-side later, only for the handful of docs that survive
+    the estimate filter (minhash_lsh_pairs). Same integers: md5 memoized
+    per batch-unique shingle, perm-min per doc."""
+    import hashlib
+
+    A = np.asarray(PERM_A, dtype=np.int64)[:, None]
+    B = np.asarray(PERM_B, dtype=np.int64)[:, None]
+    k = SHINGLE_K
+    uniq: dict = {}
+    out = []
+    for s in texts:
+        if s is None:
+            out.append(None)
+            continue
+        if len(s) > k:
+            sh = dict.fromkeys(s[i : i + k] for i in range(len(s) - k + 1))
+        else:
+            sh = (s,)
+        vals = np.empty(len(sh), dtype=np.int64)
+        i = 0
+        for g in sh:
+            v = uniq.get(g)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4], "big") % MINHASH_P
+                uniq[g] = v
+            vals[i] = v
+            i += 1
+        out.append(((A * vals[None, :] + B) % MINHASH_P).min(axis=1))
     return pd.Series(out)
 
 
@@ -341,16 +445,20 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, impl: str = "arrow") -> DataFrame:
     """doc_id, shingles (distinct k-char shingles), sig (64 bigint minhashes).
 
-    impl='arrow' (default): shingle hashing native (md5+conv, JVM), perm-min
-    matrix in a vectorized pandas UDF. impl='native': the whole signature as
-    one SQL fold — same values (tests/test_dedup_golden.py), slower."""
-    d = _widen(docs.select("doc_id", "text")).withColumn("shingles", F.expr(SHINGLES_EXPR))
+    impl='arrow' (default): ONE fused vectorized kernel for shingles + md5
+    + perm-min (_shingles_and_sig — md5 per batch-unique shingle).
+    impl='native': the whole signature as one SQL fold — same values
+    (tests/test_dedup_golden.py), slower."""
+    d = _widen(docs.select("doc_id", "text"))
     if impl == "native":
-        return d.withColumn("sig", F.expr(MINHASH_SIG_EXPR)).drop("text")
+        return (
+            d.withColumn("shingles", F.expr(SHINGLES_EXPR))
+            .withColumn("sig", F.expr(MINHASH_SIG_EXPR))
+            .drop("text")
+        )
     return (
-        d.withColumn("xs", F.expr(_SHINGLE_X))
-        .withColumn("sig", _minhash_from_xs(F.col("xs")))
-        .drop("text", "xs")
+        d.withColumn("_ss", _shingles_and_sig(F.col("text")))
+        .select("doc_id", F.col("_ss.shingles").alias("shingles"), F.col("_ss.sig").alias("sig"))
     )
 
 
@@ -388,11 +496,23 @@ def minhash_lsh_pairs(
     spark.ml's MinHashLSH approxSimilarityJoin shape.
 
     The signature table is persisted before the self-join: both join sides
-    and the verification lookups reference it, and without materialization
+    and the estimate lookups reference it, and without materialization
     Catalyst duplicates the (md5-heavy) signature subtree into every branch
     — measured 4× recompute at sf0.1. At cluster scale this is the
-    'materialize the signature table once' step of any LSH pipeline."""
-    sigs = minhash_signatures(docs).persist()
+    'materialize the signature table once' step of any LSH pipeline.
+
+    The persisted table carries (doc_id, sig) ONLY — no shingle arrays:
+    materializing per-doc shingle strings for the whole corpus cost ~45 s
+    of Arrow→array re-assembly at sf1 (556k prefix-capped conversations)
+    when only the estimate-filter SURVIVORS ever need them. Verification
+    re-attaches text for just those docs via a broadcast semi-join on the
+    tiny pair-id set and rebuilds their shingle sets JVM-side — the exact
+    same per-doc sets, so sim values are unchanged (oracle-pinned)."""
+    sigs = (
+        _widen(docs.select("doc_id", "text"))
+        .select("doc_id", _minhash_sig_from_text(F.col("text")).alias("sig"))
+        .persist()
+    )
     sigs.count()  # materialize BEFORE the self-join — the join's two scans
     # run in one job and would otherwise race the cache and both recompute
     banded = _minhash_bands(sigs)
@@ -418,8 +538,27 @@ def minhash_lsh_pairs(
         .filter(F.col("est") >= MINHASH_ESTIMATE_CUTOFF)
         .select("doc_a", "doc_b")
     )
-    # stage 3: exact verification on the survivors only
-    sh = sigs.select("doc_id", "shingles")
+    # stage 3: exact verification on the survivors only — the pair-id set
+    # is materialized (tiny) so its two consumers don't recompute the
+    # band join, then text is re-attached for JUST those docs via a
+    # broadcast semi-join (the corpus scan never shuffles its text), and
+    # their shingle sets are rebuilt JVM-side.
+    if materialize:
+        est_pairs = est_pairs.localCheckpoint(eager=True)
+    pair_ids = (
+        est_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(est_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(pair_ids), "doc_id")
+        .select("doc_id", F.expr(SHINGLES_EXPR).alias("shingles"))
+    )
+    if materialize:
+        # joined twice (doc_a / doc_b) — pin the tiny survivor-shingle
+        # table so the corpus scan behind it runs once, not per side
+        sh = sh.localCheckpoint(eager=True)
     pairs = est_pairs.join(
         sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a"
     ).join(
@@ -480,10 +619,52 @@ _SIMHASH_BANDS_EXPR = (
 )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id, bands: array of 4 × 16-bit ints (the 64-bit simhash, split)."""
-    return _widen(docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(_SIMHASH_BANDS_EXPR).alias("bands")
+# Packed 64-bit token hash for the vectorized kernel: bits 0..59 from h.a,
+# bits 60..63 from the low 4 bits of h.b — the same bits _SIMHASH_ACC reads,
+# in one bigint (disjoint bit ranges, so `|` is exact; bit 63 set just makes
+# the bigint negative, which both engines' arithmetic-shift-&-1 reads back
+# correctly). md5 runs once per token, JVM-side, exactly as before.
+_TOKEN_XS = (
+    f"transform(transform({_TOKENS_EXPR}, t -> md5(t)), "
+    "m -> cast(conv(substr(m,1,15),16,10) as bigint) | "
+    "shiftleft(cast(conv(substr(m,16,4),16,10) as bigint) & 15, 60))"
+)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _simhash_bands_from_xs(xs: pd.Series) -> pd.Series:
+    """Vectorized simhash: per doc, bit j of the signature is set iff more
+    than half the tokens carry bit j (2*ones_j > n ⟺ the ±1 fold's acc[j] >
+    0), packed into 4 × 16-bit band ints. Exact integer math — same values
+    as _SIMHASH_BANDS_EXPR (golden-tested) without the interpreted
+    64-lambda-per-token Catalyst fold (~30 µs/token measured at sf0.1)."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << np.arange(16, dtype=np.int64)
+    out = []
+    for x in xs:
+        a = np.asarray(x, dtype=np.int64)
+        n = a.size
+        if n == 0:
+            out.append(np.zeros(SIMHASH_BANDS, dtype=np.int64))
+            continue
+        ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+        bits = (2 * ones) > n
+        out.append((bits.reshape(SIMHASH_BANDS, 16) * weights).sum(axis=1))
+    return pd.Series(out)
+
+
+def simhash_signatures(docs: DataFrame, impl: str = "arrow") -> DataFrame:
+    """doc_id, bands: array of 4 × 16-bit ints (the 64-bit simhash, split).
+
+    impl='arrow' (default): token hashing native (md5+conv, JVM), the
+    64-bit-position majority fold in a vectorized pandas UDF. impl='native':
+    the whole signature as one SQL fold — same values
+    (tests/test_dedup_golden.py), slower."""
+    d = _widen(docs.select("doc_id", "text"))
+    if impl == "native":
+        return d.select("doc_id", F.expr(_SIMHASH_BANDS_EXPR).alias("bands"))
+    return d.select("doc_id", F.expr(_TOKEN_XS).alias("xs")).select(
+        "doc_id", _simhash_bands_from_xs(F.col("xs")).alias("bands")
     )
 
 

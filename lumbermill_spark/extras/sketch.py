@@ -60,19 +60,27 @@ def cms_build(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def cms_topk(df: DataFrame, k: int = CMS_TOPK, text_col: str = "text") -> DataFrame:
+def cms_topk(
+    df: DataFrame, k: int = CMS_TOPK, text_col: str = "text", materialize: bool = True
+) -> DataFrame:
     """Heavy hitters THROUGH the sketch: estimate every distinct token's
     count as min over rows of its cell, rank by (est DESC, token ASC), keep
     the top k, and report the exact count next to the estimate (est >=
     exact always; equality when the token's cells are collision-free).
 
-    Scale shape: the sketch broadcasts (<= DEPTH*WIDTH rows); the distinct-
-    token table probes it with an equality join per row and folds min —
-    the exact-count column shares the same distinct-token aggregate, so the
-    whole query is two bounded aggregates plus a broadcast probe."""
+    Scale shape: ONE corpus token pass (the distinct-token count aggregate,
+    persisted) feeds both sides — the sketch is rebuilt from it cell for
+    cell (Σ exact_cnt per (row, bucket) ≡ the per-occurrence count
+    cms_build folds, since every occurrence of a token lands in that
+    token's cells), so the CMS_DEPTH md5 probes run once per DISTINCT
+    token, never per occurrence, and the corpus is scanned once instead of
+    twice. The sketch broadcasts (<= DEPTH*WIDTH rows) and the token table
+    probes it with an equality join."""
     toks = _tokens(df, text_col)
     exact = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("exact_cnt"))
-    sk = cms_build(df, text_col)
+    if materialize:
+        exact = exact.persist()
+        exact.count()  # one corpus pass; sketch build + probe join both reuse it
     probes = exact.select(
         "token",
         "exact_cnt",
@@ -85,6 +93,7 @@ def cms_topk(df: DataFrame, k: int = CMS_TOPK, text_col: str = "text") -> DataFr
             )
         ).alias("rb"),
     ).select("token", "exact_cnt", "rb.row", "rb.bucket")
+    sk = probes.groupBy("row", "bucket").agg(F.sum("exact_cnt").cast("bigint").alias("cnt"))
     est = (
         probes.join(F.broadcast(sk), ["row", "bucket"])
         .groupBy("token", "exact_cnt")
@@ -98,9 +107,14 @@ def cms_topk(df: DataFrame, k: int = CMS_TOPK, text_col: str = "text") -> DataFr
     ).orderBy(F.col("est_cnt").desc(), "token").limit(k)
     # the rank window runs on the k already-selected rows — k is a constant,
     # so the single partition under it is k rows, never corpus-sized
-    return ranked.withColumn(
+    out = ranked.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("est_cnt").desc(), "token"))
     )
+    if not materialize:
+        return out  # lazy plan for inspection/tests; caller owns the caches
+    from .textstats import _materialize
+
+    return _materialize(out, exact)
 
 
 # ---------------------------------------------------------------------------

@@ -80,13 +80,14 @@ def test_minhash_signatures_match_pure_python(spark):
 
 
 def test_simhash_bands_match_pure_python(spark):
-    got = {
-        r["doc_id"]: list(r["bands"])
-        for r in dedup.simhash_signatures(_df(spark)).collect()
-    }
-    for i, t in enumerate(TEXTS):
-        assert got[i] == py_simhash_bands(t), f"simhash bands mismatch for {t!r}"
-        assert all(0 <= b < (1 << 16) for b in got[i])
+    for impl in ("arrow", "native"):
+        got = {
+            r["doc_id"]: list(r["bands"])
+            for r in dedup.simhash_signatures(_df(spark), impl=impl).collect()
+        }
+        for i, t in enumerate(TEXTS):
+            assert got[i] == py_simhash_bands(t), f"[{impl}] simhash bands mismatch for {t!r}"
+            assert all(0 <= b < (1 << 16) for b in got[i])
 
 
 def test_minhash_shingles_are_distinct_ordered_sets(spark):

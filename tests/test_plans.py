@@ -527,7 +527,9 @@ def test_sketch_ops_broadcast_and_bounded(spark):
     from lumbermill_spark.extras import sketch, textstats
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    p_cms = _plan(sketch.cms_topk(docs))
+    # materialize=False: inspect the LAZY plan (the default eager
+    # localCheckpoint collapses it to a LogicalRDD)
+    p_cms = _plan(sketch.cms_topk(docs, materialize=False))
     assert "BroadcastHashJoin" in p_cms
     assert "SortMergeJoin" not in p_cms and "CartesianProduct" not in p_cms
 
