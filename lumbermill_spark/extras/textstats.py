@@ -143,21 +143,37 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     # [A-Za-z0-9_], \s = the 6 ASCII ws chars — both ASCII-only without
     # UNICODE_CHARACTER_CLASS, so the complement identity holds for every
     # input). Same integers, no java-regex scan, ~3× on long rendered docs.
-    alpha_ratio = (F.length(t) - F.length(F.translate(t, _ALPHA_CHARS, ""))) / length
-    punct_ratio = F.length(F.translate(t, _WORD_WS_CHARS, "")) / length
-    stop_hits = F.regexp_count(F.lower(t), F.lit(stopword_pat("en"))).cast("double")
-    stop_frac = F.least(stop_hits / ntok, F.lit(1.0))
+    # Each non-cheap signal is STAGED as a column and referenced as an
+    # attribute below: inlined expression trees repeated the translate /
+    # regexp_count / split subtrees inside round(...) AND the score sum,
+    # and once the fused curation projection grew past the codegen method
+    # limit those duplicates were re-evaluated per reference (measured 5×
+    # on sf1 rendered conversations — 63 s → 300 s when one more column
+    # joined the projection). CollapseProject keeps a staged column staged
+    # exactly when it is non-cheap and multi-referenced, which all of
+    # these are. Same float ops in the same order — values bit-identical.
+    temps = {
+        "_q_alpha": (F.length(t) - F.length(F.translate(t, _ALPHA_CHARS, ""))) / length,
+        "_q_punct": F.length(F.translate(t, _WORD_WS_CHARS, "")) / length,
+        "_q_stop": F.regexp_count(F.lower(t), F.lit(stopword_pat("en"))).cast("double"),
+        "_q_ntok": ntok,
+    }
+    df = df.withColumns(temps)
+    alpha_ratio = F.col("_q_alpha")
+    punct_ratio = F.col("_q_punct")
+    stop_frac = F.least(F.col("_q_stop") / F.col("_q_ntok"), F.lit(1.0))
     score = (
         0.25 * alpha_ratio
         + 0.25 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
         + 0.25 * stop_frac
-        + 0.25 * F.least(ntok / 100.0, F.lit(1.0))
+        + 0.25 * F.least(F.col("_q_ntok") / 100.0, F.lit(1.0))
     )
     return (
         df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stopword_frac", F.round(stop_frac, 6))
         .withColumn("quality_score", F.round(score, 6))
+        .drop(*temps.keys())
     )
 
 
@@ -165,17 +181,25 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID with fixed-precedence argmax ('und' if no
     hits anywhere)."""
     df = _widen(df)
-    t = F.lower(F.col(text_col))
-    scores = {lang: F.regexp_count(t, F.lit(stopword_pat(lang))) for lang in LANG_ORDER}
+    # STAGED evaluation (see with_quality): lower(text) once, each lang's
+    # regexp_count once as a column; the argmax when-chain reads attributes.
+    # The inlined form embedded every count ~16× inside pred_lang's CASE
+    # tree — fine while codegen CSE holds, 4 regex scans × 4 re-evaluations
+    # once the fused projection falls out of codegen. Same counts, same
+    # precedence — values identical.
+    out = df.withColumn("_lc", F.lower(F.col(text_col)))
+    for lang in LANG_ORDER:
+        out = out.withColumn(
+            "score_" + lang,
+            F.regexp_count(F.col("_lc"), F.lit(stopword_pat(lang))).cast("int"),
+        )
+    scores = {lang: F.col("score_" + lang) for lang in LANG_ORDER}
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):  # build when-chain in priority order
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    out = df
-    for lang in LANG_ORDER:
-        out = out.withColumn("score_" + lang, scores[lang].cast("int"))
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", pred).drop("_lc")
 
 
 # ---------------------------------------------------------------------------
